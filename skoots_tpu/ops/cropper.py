@@ -1,0 +1,71 @@
+"""Static sliding-window tile grid.
+
+Host-side index math replacing the reference generator
+(/root/reference/skoots/lib/cropper.py:58-144): stride = crop - 2*overlap,
+edge tiles clamped to ``shape - crop``. Because the grid is computed up front
+(not lazily) the tile list is static — it can be batched, sharded over a
+device mesh, or driven by a double-buffered host->HBM pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _axis_origins(size: int, crop: int, overlap: int) -> List[int]:
+    if crop >= size:
+        return [0]
+    stride = crop - 2 * overlap
+    assert stride > 0, f"overlap {overlap} too large for crop {crop}"
+    origins, x = [], 0
+    while True:
+        origins.append(min(x, size - crop))
+        if x >= size - crop:
+            return origins
+        x += stride
+
+
+def crop_origins(
+    spatial_shape: Sequence[int],
+    crop_size: Sequence[int],
+    overlap: Sequence[int] = (0, 0, 0),
+) -> List[Tuple[int, ...]]:
+    """All tile origins for a spatial volume. Crop sizes are clamped to the
+    volume (reference cropper.py:81-84)."""
+    crop = [min(c, s) for c, s in zip(crop_size, spatial_shape)]
+    per_axis = [
+        _axis_origins(s, c, o) for s, c, o in zip(spatial_shape, crop, overlap)
+    ]
+    grids = np.meshgrid(*per_axis, indexing="ij")
+    return [tuple(int(g[idx]) for g in grids) for idx in np.ndindex(grids[0].shape)]
+
+
+def effective_crop_size(
+    spatial_shape: Sequence[int], crop_size: Sequence[int]
+) -> Tuple[int, ...]:
+    return tuple(min(c, s) for c, s in zip(crop_size, spatial_shape))
+
+
+def get_total_num_crops(
+    spatial_shape: Sequence[int],
+    crop_size: Sequence[int],
+    overlap: Sequence[int],
+) -> int:
+    return len(crop_origins(spatial_shape, crop_size, overlap))
+
+
+def crops(
+    image: np.ndarray,
+    crop_size: Sequence[int],
+    overlap: Sequence[int] = (0, 0, 0),
+) -> Iterator[Tuple[np.ndarray, Tuple[int, ...]]]:
+    """Yield (crop, origin) over a channels-last volume ``[X, Y, Z, C]`` (or
+    ``[X, Y, Z]``). Convenience for host-side tools; the accelerated inference
+    path uses :func:`crop_origins` with its own streaming pipeline."""
+    spatial = image.shape[:3]
+    crop = effective_crop_size(spatial, crop_size)
+    for origin in crop_origins(spatial, crop, overlap):
+        sl = tuple(slice(o, o + c) for o, c in zip(origin, crop))
+        yield image[sl], origin

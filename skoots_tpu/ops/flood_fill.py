@@ -1,0 +1,236 @@
+"""Connected components ("flood fill") of the thresholded skeleton map.
+
+TPU-native replacement for /root/reference/skoots/lib/flood_fill.py, which
+labels [1000,1000,200] crops with scipy's CPU union-find, detects seam
+collisions, and merges them with a numba remap (flood_fill.py:13-234).
+
+Here the per-tile labeling runs ON DEVICE as an XLA while_loop: every
+foreground voxel starts with label = raveled-index + 1, and each iteration
+(a) takes the 26-neighborhood max (one reduce_window) and (b) performs two
+pointer-jumping steps ``L <- L[L - 1]`` — because labels ARE voxel addresses,
+gathering the label stored at your own label's voxel is exactly union-find
+path halving. Propagation alone needs O(diameter) sweeps; with jumping the
+loop converges in roughly O(log diameter) rounds.
+
+Cross-tile stitching stays: seams between tiles are scanned for (label_a,
+label_b) pairs with a vectorized unique (no O(U^2) python loop), merged by a
+tiny host union-find, and applied with an on-device LUT gather — replacing
+the reference's numba ``_in_place_replace`` scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skoots_tpu.ops.cropper import crop_origins, effective_crop_size
+
+
+@partial(jax.jit, static_argnames=("max_rounds", "connectivity"))
+def label_components(
+    binary: jax.Array, max_rounds: int = 64, connectivity: int = 26
+) -> jax.Array:
+    """Label connected components of a 3D binary mask on device.
+
+    Args:
+        binary: ``[X, Y, Z]`` bool/int foreground mask.
+        max_rounds: hard bound on propagate+jump rounds. Each round roughly
+            squares the reachable distance, so 64 covers any practical volume.
+        connectivity: 26 (3^3 window) or 6 (face-adjacent, cross window).
+
+    Returns:
+        ``[X, Y, Z]`` int32: 0 background, equal values = same component.
+        Label values are (raveled index + 1) of the component maximum — unique
+        but non-sequential, like the reference (flood_fill.py:15-19).
+    """
+    x, y, z = binary.shape
+    fg = binary > 0
+    flat_idx = jax.lax.broadcasted_iota(jnp.int32, (x, y, z), 0) * (y * z)
+    flat_idx = flat_idx + jax.lax.broadcasted_iota(jnp.int32, (x, y, z), 1) * z
+    flat_idx = flat_idx + jax.lax.broadcasted_iota(jnp.int32, (x, y, z), 2)
+    labels = jnp.where(fg, flat_idx + 1, 0)
+
+    if connectivity == 26:
+        def propagate(lab):
+            return jax.lax.reduce_window(
+                lab, jnp.int32(0), jax.lax.max, (3, 3, 3), (1, 1, 1),
+                ((1, 1), (1, 1), (1, 1)),
+            )
+    elif connectivity == 6:
+        def propagate(lab):
+            out = lab
+            for ax in range(3):
+                for shift in (-1, 1):
+                    rolled = jnp.roll(lab, shift, axis=ax)
+                    # zero out the wrapped border slice
+                    idx = jax.lax.broadcasted_iota(jnp.int32, lab.shape, ax)
+                    edge = idx == (0 if shift == 1 else lab.shape[ax] - 1)
+                    out = jnp.maximum(out, jnp.where(edge, 0, rolled))
+            return out
+    else:
+        raise ValueError(f"connectivity must be 6 or 26, got {connectivity}")
+
+    def jump(lab):
+        # path halving: follow the pointer stored at your own label's voxel
+        flat = lab.reshape(-1)
+        tgt = jnp.maximum(lab - 1, 0).reshape(-1)
+        return jnp.where(lab > 0, flat[tgt].reshape(lab.shape), 0)
+
+    def cond(state):
+        i, lab, changed = state
+        return jnp.logical_and(i < max_rounds, changed)
+
+    def body(state):
+        i, lab, _ = state
+        new = jnp.where(fg, propagate(lab), 0)
+        new = jump(jump(new))
+        return i + 1, new, jnp.any(new != lab)
+
+    _, labels, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
+    return labels
+
+
+def _seam_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Unique (label_a, label_b) pairs of 26-adjacent voxels across a seam.
+
+    ``a`` and ``b`` are the two label planes on either side of a tile seam.
+    Full 26-connectivity means a voxel in plane ``a`` touches the 3x3 in-plane
+    neighborhood in ``b``, so pairs are collected over all 9 shifts. This is
+    stricter than the reference's same-position-only test
+    (flood_fill.py:237-261), which misses diagonal-only seam contacts; it is
+    also vectorized (no O(U^2) python loop over unique values).
+    """
+    out = []
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            bs = b
+            if dy:
+                bs = np.roll(bs, dy, axis=0)
+                edge = slice(0, 1) if dy > 0 else slice(-1, None)
+                bs = bs.copy()
+                bs[edge, :] = 0
+            if dz:
+                bs = np.roll(bs, dz, axis=1)
+                edge = slice(0, 1) if dz > 0 else slice(-1, None)
+                bs = bs.copy()
+                bs[:, edge] = 0
+            m = (a > 0) & (bs > 0)
+            if m.any():
+                out.append(np.stack([a[m].ravel(), bs[m].ravel()], axis=1))
+    if not out:
+        return np.zeros((0, 2), np.int64)
+    return np.unique(np.concatenate(out, axis=0).astype(np.int64), axis=0)
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: Dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent.setdefault(p, p):
+            self.parent[x] = self.parent[p]
+            x, p = p, self.parent[p]
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def efficient_flood_fill(
+    skeleton: np.ndarray,
+    crop_size: Tuple[int, int, int] = (512, 512, 128),
+    max_rounds: int = 64,
+    relabel_sequential: bool = False,
+) -> np.ndarray:
+    """Out-of-core connected components with on-device tiles + seam merge.
+
+    Mirrors the reference's crop / label / collide / merge structure
+    (flood_fill.py:13-122) with the per-tile work on the accelerator.
+
+    Args:
+        skeleton: ``[X, Y, Z]`` binary (or already >0-labeled) host array.
+        crop_size: device tile size.
+        relabel_sequential: if True, compact labels to 1..N before returning.
+
+    Returns:
+        ``[X, Y, Z]`` int32 labeled array (labels unique per component).
+    """
+    skeleton = np.asarray(skeleton)
+    spatial = skeleton.shape
+    crop = effective_crop_size(spatial, crop_size)
+    origins = crop_origins(spatial, crop, (0, 0, 0))
+
+    out = np.zeros(spatial, np.int32)
+    # tile-local labels are raveled indices + 1; offset each tile into a
+    # disjoint id range so labels stay globally unique
+    tile_span = int(np.prod(crop)) + 1
+
+    label_fn = jax.jit(partial(label_components, max_rounds=max_rounds))
+    seams_per_axis: List[set] = [set(), set(), set()]
+    for t, origin in enumerate(origins):
+        sl = tuple(slice(o, o + c) for o, c in zip(origin, crop))
+        tile = label_fn(jnp.asarray(skeleton[sl] > 0))
+        tile = np.asarray(tile)
+        tile = np.where(tile > 0, tile + t * tile_span, 0)
+        out[sl] = tile
+        for ax in range(3):
+            if origin[ax] > 0:
+                seams_per_axis[ax].add(origin[ax])
+
+    # collision detection across every seam plane
+    uf = _UnionFind()
+    for ax in range(3):
+        for s in sorted(seams_per_axis[ax]):
+            sl0 = [slice(None)] * 3
+            sl1 = [slice(None)] * 3
+            sl0[ax] = s
+            sl1[ax] = s - 1
+            for a, b in _seam_pairs(out[tuple(sl0)], out[tuple(sl1)]):
+                uf.union(int(a), int(b))
+
+    if uf.parent:
+        keys = np.fromiter(uf.parent.keys(), dtype=np.int64)
+        roots = np.array([uf.find(int(k)) for k in keys], dtype=np.int64)
+        changed = keys != roots
+        if changed.any():
+            out = remap_labels(out, keys[changed], roots[changed])
+
+    if relabel_sequential:
+        out, _ = renumber(out)
+    return out
+
+
+def remap_labels(
+    x: np.ndarray, to_replace: np.ndarray, replace_with: np.ndarray
+) -> np.ndarray:
+    """Replace label values via sorted-search lookup (vectorized; replaces the
+    reference's numba per-voxel scan, flood_fill.py:177-234)."""
+    order = np.argsort(to_replace)
+    keys = to_replace[order]
+    vals = replace_with[order]
+    pos = np.searchsorted(keys, x.ravel())
+    pos = np.clip(pos, 0, len(keys) - 1)
+    hit = keys[pos] == x.ravel()
+    flat = np.where(hit, vals[pos], x.ravel())
+    return flat.reshape(x.shape).astype(x.dtype)
+
+
+def renumber(x: np.ndarray) -> Tuple[np.ndarray, Dict[int, int]]:
+    """Compact labels to 1..N preserving 0 (fastremap.renumber equivalent,
+    used at reference eval.py:304-306)."""
+    uniq = np.unique(x)
+    uniq = uniq[uniq != 0]
+    mapping = {int(u): i + 1 for i, u in enumerate(uniq)}
+    if len(uniq) == 0:
+        return x.astype(np.int32), {}
+    lut_keys = uniq
+    lut_vals = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    out = remap_labels(x.astype(np.int64), lut_keys.astype(np.int64), lut_vals.astype(np.int64))
+    return out.astype(np.int32), mapping

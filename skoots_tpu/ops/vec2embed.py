@@ -1,0 +1,94 @@
+"""Vector field -> spatial embedding.
+
+TPU-native re-design of the reference op
+(/root/reference/skoots/lib/vector_to_embedding.py:80-174): a network predicts,
+per voxel, a displacement vector in [-1, 1]. Scaled by ``scale`` and added to
+the voxel's own coordinate it forms a "spatial embedding" that points at the
+center (skeleton) of the instance the voxel belongs to. With ``n > 1`` the
+vector field is re-applied at the (rounded) embedded position, with per-step
+``decay``, letting embeddings travel further than one scale step — used with
+N=10 at inference (/root/reference/skoots/lib/eval.py:271-273).
+
+Layout: channels-LAST. ``vector`` is ``[B, X, Y, Z, 3]`` (or ``[B, X, Y, 2]``
+in 2D); the channel axis maps onto TPU lanes and every op here fuses into one
+XLA kernel under jit. The iterated gather is a single flat ``take`` per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def coordinate_mesh(spatial_shape: tuple[int, ...], dtype=jnp.float32) -> jax.Array:
+    """Dense coordinate mesh of shape ``[*spatial_shape, D]`` (ij indexing)."""
+    nd = len(spatial_shape)
+    axes = [
+        jax.lax.broadcasted_iota(dtype, spatial_shape, dimension=d) for d in range(nd)
+    ]
+    return jnp.stack(axes, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _vec2embed(scale: jax.Array, vector: jax.Array, n: int, decay: float) -> jax.Array:
+    spatial = vector.shape[1:-1]
+    d = vector.shape[-1]
+    mesh = coordinate_mesh(spatial, dtype=jnp.float32)[None]  # [1, *S, D]
+
+    scale = scale.astype(jnp.float32).reshape((1,) + (1,) * len(spatial) + (d,))
+    scaled = vector.astype(jnp.float32) * scale
+    embed = mesh + scaled
+
+    if n <= 1:
+        return embed
+
+    # sizes for raveling [X, Y, Z] -> flat index
+    sizes = jnp.asarray(spatial, dtype=jnp.int32)
+    strides = jnp.concatenate(
+        [jnp.cumprod(sizes[::-1])[::-1][1:], jnp.ones((1,), jnp.int32)]
+    )  # e.g. (Y*Z, Z, 1)
+
+    step = 1.0
+    b = vector.shape[0]
+    flat_vec = vector.astype(jnp.float32).reshape(b, -1, d)  # [B, V, D]
+    for _ in range(n - 1):
+        step = step * decay
+        idx = jnp.clip(
+            jnp.round(embed).astype(jnp.int32),
+            0,
+            sizes.reshape((1,) + (1,) * len(spatial) + (d,)) - 1,
+        )
+        flat_idx = jnp.sum(idx * strides, axis=-1).reshape(b, -1)  # [B, V]
+        # gather the vector at the embedded location, re-apply with decay
+        delta = jnp.take_along_axis(flat_vec, flat_idx[..., None], axis=1)
+        embed = embed + delta.reshape(embed.shape) * (scale * step)
+    return embed
+
+
+def vector_to_embedding(
+    scale: jax.Array | tuple,
+    vector: jax.Array,
+    n: int = 1,
+    decay: float = 1.0,
+) -> jax.Array:
+    """Convert a vector field to spatial embeddings.
+
+    Args:
+        scale: per-axis scaling, shape ``(D,)`` — e.g. ``(60, 60, 12)``.
+        vector: ``[B, X, Y, Z, 3]`` (3D) or ``[B, X, Y, 2]`` (2D), values in [-1, 1].
+        n: number of vector applications (>=1). n>1 re-samples the field at the
+           rounded embedded coordinate each step.
+        decay: per-step magnitude decay for steps 2..n.
+
+    Returns:
+        embeddings of the same shape as ``vector`` (float32).
+    """
+    scale = jnp.asarray(scale)
+    if vector.ndim == 4:  # 2D: [B, X, Y, 2]
+        assert n == 1 and decay == 1.0, "n/decay only valid for 3D vectors"
+    assert vector.shape[-1] == scale.shape[0], (
+        f"scale dim {scale.shape} mismatches vector channels {vector.shape[-1]}"
+    )
+    return _vec2embed(scale, vector, n=int(n), decay=float(decay))

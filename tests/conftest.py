@@ -1,0 +1,30 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX analogue of the reference's localhost-gloo distributed smoke
+tests (/root/reference/skoots/lib/mp_utils.py:116-121): multi-device semantics
+without hardware.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon sitecustomize pins the TPU-tunnel platform regardless of the env
+# var; jax.config is the only override that sticks. Must run before any
+# backend initialization.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(101196)  # reference fixed seed (engine.py:53)

@@ -1,0 +1,94 @@
+"""Tests for on-device connected components + tiled seam-merging flood fill."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy import ndimage
+
+from skoots_tpu.ops import efficient_flood_fill, label_components
+from skoots_tpu.ops.flood_fill import remap_labels, renumber
+
+
+def _canon(labels: np.ndarray) -> np.ndarray:
+    """Canonicalize labels (any bijective relabel works for partition checks)."""
+    labels = np.asarray(labels)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    out = inv.reshape(labels.shape).astype(np.int64)
+    return out if (len(uniq) and uniq[0] == 0) else out + 1
+
+
+class TestLabelComponents:
+    def test_two_blobs(self):
+        x = np.zeros((16, 16, 4), np.int32)
+        x[1:4, 1:4, 1:3] = 1
+        x[10:14, 10:14, 1:3] = 1
+        lab = np.asarray(label_components(jnp.asarray(x)))
+        ids = np.unique(lab[lab > 0])
+        assert len(ids) == 2
+        assert len(np.unique(lab[1:4, 1:4, 1:3])) == 1
+        assert len(np.unique(lab[10:14, 10:14, 1:3])) == 1
+
+    def test_matches_scipy_random(self, rng):
+        x = (rng.random((24, 24, 8)) > 0.7).astype(np.int32)
+        ours = _canon(np.asarray(label_components(jnp.asarray(x))))
+        ref, _ = ndimage.label(x, structure=np.ones((3, 3, 3)))
+        ref = _canon(ref)
+        # same partition: bijection between label sets
+        assert ours.max() == ref.max()
+        pairs = np.unique(np.stack([ours[x > 0], ref[x > 0]], 1), axis=0)
+        assert len(pairs) == ours.max()
+
+    def test_long_snake(self):
+        # a serpentine 1-voxel path exercises pointer jumping (long diameter)
+        x = np.zeros((32, 32, 1), np.int32)
+        for r in range(0, 32, 2):
+            x[r, :, 0] = 1
+        for i, r in enumerate(range(1, 31, 2)):  # connect row r-1 to r+1
+            x[r, 31 if i % 2 == 0 else 0, 0] = 1
+        lab = np.asarray(label_components(jnp.asarray(x)))
+        assert len(np.unique(lab[x > 0])) == 1
+
+    def test_connectivity_6(self):
+        x = np.zeros((4, 4, 1), np.int32)
+        x[0, 0, 0] = 1
+        x[1, 1, 0] = 1  # diagonal touch: joined under 26, split under 6
+        lab26 = np.asarray(label_components(jnp.asarray(x), connectivity=26))
+        lab6 = np.asarray(label_components(jnp.asarray(x), connectivity=6))
+        assert len(np.unique(lab26[x > 0])) == 1
+        assert len(np.unique(lab6[x > 0])) == 2
+
+
+class TestEfficientFloodFill:
+    def test_merges_across_tiles(self, rng):
+        x = (rng.random((64, 48, 12)) > 0.75).astype(np.int32)
+        got = _canon(efficient_flood_fill(x, crop_size=(32, 32, 8)))
+        ref, _ = ndimage.label(x, structure=np.ones((3, 3, 3)))
+        ref = _canon(ref)
+        assert got.max() == ref.max()
+        pairs = np.unique(np.stack([got[x > 0], ref[x > 0]], 1), axis=0)
+        assert len(pairs) == got.max()
+
+    def test_single_component_spanning_all_tiles(self):
+        x = np.zeros((64, 64, 8), np.int32)
+        x[:, 32, 4] = 1  # a line through every x-tile
+        out = efficient_flood_fill(x, crop_size=(16, 16, 8))
+        assert len(np.unique(out[x > 0])) == 1
+
+    def test_relabel_sequential(self):
+        x = np.zeros((32, 32, 4), np.int32)
+        x[1:3, 1:3, 1:3] = 1
+        x[20:22, 20:22, 1:3] = 1
+        out = efficient_flood_fill(x, relabel_sequential=True)
+        assert set(np.unique(out)) == {0, 1, 2}
+
+
+class TestRemap:
+    def test_remap_labels(self):
+        x = np.array([[1, 2, 3], [3, 2, 0]])
+        out = remap_labels(x, np.array([2, 3]), np.array([9, 9]))
+        np.testing.assert_array_equal(out, [[1, 9, 9], [9, 9, 0]])
+
+    def test_renumber(self):
+        x = np.array([0, 5, 17, 5, 10000])
+        out, mapping = renumber(x)
+        np.testing.assert_array_equal(out, [0, 1, 2, 1, 3])
+        assert mapping == {5: 1, 17: 2, 10000: 3}
