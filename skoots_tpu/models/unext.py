@@ -1,0 +1,241 @@
+"""UNeXT-3D: ConvNeXt-style 3D UNet backbone (flax.linen, channels-last).
+
+Ground-up TPU re-design of the reference's un-vendored ``bism`` backbone
+(interface documented at /root/reference/skoots/lib/utils.py:17-107 and
+/root/reference/skoots/config.py:20-34): dims [32, 64, 128, 64, 32], depths
+[2, 2, 2, 2, 2], depthwise 7^3 convs, channels-first LayerNorm in the
+reference -> channels-LAST here (the natural TPU layout: C maps onto lanes,
+the ConvNeXt MLP becomes two MXU matmuls), GELU, layer-scale, drop-path,
+ConcatConv skip fusion, trilinear upsampling.
+
+Structure for odd-length ``dims`` of 2k+1 entries: k encoder stages,
+1 bottleneck, k decoder stages; each non-bottleneck stage changes resolution
+by 2x in every spatial axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_ACTIVATIONS: dict[str, Callable] = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "selu": nn.selu,
+}
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the residual branch per sample."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class ConvNeXtBlock3D(nn.Module):
+    """ConvNeXt block: depthwise k^3 conv -> LN -> pointwise MLP (4x) -> scale.
+
+    Equivalent role to bism.modules.convnext_block.Block3D (reference
+    lib/utils.py:25). The depthwise conv is cheap VPU work; the two pointwise
+    Dense layers are the MXU hot path.
+    """
+
+    dim: int
+    kernel_size: int = 7
+    layer_scale_init: float = 1.0
+    drop_path: float = 0.0
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        act = _ACTIVATIONS[self.activation]
+        shortcut = x
+        k = self.kernel_size
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(k, k, k),
+            feature_group_count=self.dim,
+            padding="SAME",
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pw1")(x)
+        x = act(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(x)
+        if self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+                jnp.float32,
+            )
+            x = x * gamma.astype(self.dtype)
+        x = DropPath(self.drop_path)(x, deterministic)
+        return shortcut + x
+
+
+class Downsample(nn.Module):
+    """LayerNorm + strided 2^3 conv (resolution /2, channels -> dim)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Conv(
+            self.dim, kernel_size=(2, 2, 2), strides=(2, 2, 2), dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def upsample_trilinear(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Trilinear 2x upsample (reference UpSampleLayer3D role)."""
+    b, sx, sy, sz, c = x.shape
+    return jax.image.resize(
+        x, (b, sx * factor, sy * factor, sz * factor, c), method="trilinear"
+    )
+
+
+class ConcatConv3D(nn.Module):
+    """Skip fusion: concat encoder skip with decoder stream, 1^3 conv to dim.
+
+    Equivalent role to bism.modules.concat.ConcatConv3D (lib/utils.py:44).
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array) -> jax.Array:
+        y = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fuse")(y)
+
+
+class UNeXT3D(nn.Module):
+    """The full U: stem -> k encoder stages -> bottleneck -> k decoder stages.
+
+    Args mirror the reference cfg.MODEL schema (config.py:20-34). Input and
+    output are channels-last ``[B, X, Y, Z, C]``; spatial dims must be
+    divisible by ``2**(len(dims)//2)``.
+    """
+
+    in_channels: int = 1
+    out_channels: int = 32
+    dims: Sequence[int] = (32, 64, 128, 64, 32)
+    depths: Sequence[int] = (2, 2, 2, 2, 2)
+    kernel_size: int = 7
+    drop_path_rate: float = 0.0
+    layer_scale_init_value: float = 1.0
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        assert len(self.dims) % 2 == 1, "dims must be odd-length (symmetric U)"
+        k_down = len(self.dims) // 2
+        dims, depths = list(self.dims), list(self.depths)
+
+        def stage(x, dim, depth, name):
+            for i in range(depth):
+                x = ConvNeXtBlock3D(
+                    dim,
+                    self.kernel_size,
+                    self.layer_scale_init_value,
+                    self.drop_path_rate,
+                    self.activation,
+                    self.dtype,
+                    name=f"{name}_block{i}",
+                )(x, deterministic)
+            return x
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            dims[0], kernel_size=(7, 7, 7), padding="SAME", dtype=self.dtype,
+            name="stem",
+        )(x)
+
+        skips = []
+        for s in range(k_down):  # encoder
+            x = stage(x, dims[s], depths[s], f"enc{s}")
+            skips.append(x)
+            x = Downsample(dims[s + 1], self.dtype, name=f"down{s}")(x)
+
+        x = stage(x, dims[k_down], depths[k_down], "bottleneck")
+
+        for s in range(k_down):  # decoder
+            d = k_down + 1 + s
+            x = upsample_trilinear(x)
+            x = ConcatConv3D(dims[d], self.dtype, name=f"concat{s}")(
+                x, skips[k_down - 1 - s]
+            )
+            x = stage(x, dims[d], depths[d], f"dec{s}")
+
+        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        x = nn.Conv(
+            self.out_channels, kernel_size=(1, 1, 1), dtype=self.dtype,
+            name="head_conv",
+        )(x)
+        return x
+
+
+class UNet3D(nn.Module):
+    """Classic conv-norm-act double-block 3D UNet (reference 'bism_unet' role,
+    lib/utils.py:21-22)."""
+
+    in_channels: int = 1
+    out_channels: int = 32
+    dims: Sequence[int] = (32, 64, 128, 64, 32)
+    depths: Sequence[int] = (2, 2, 2, 2, 2)
+    kernel_size: int = 3
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.bfloat16
+    # accepted for factory compatibility; unused by the classic blocks
+    drop_path_rate: float = 0.0
+    layer_scale_init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        act = _ACTIVATIONS[self.activation]
+        k = min(self.kernel_size, 3)
+        k_down = len(self.dims) // 2
+        dims, depths = list(self.dims), list(self.depths)
+
+        def stage(x, dim, depth, name):
+            for i in range(depth):
+                x = nn.Conv(dim, (k, k, k), padding="SAME", dtype=self.dtype,
+                            name=f"{name}_conv{i}")(x)
+                x = nn.GroupNorm(num_groups=min(8, dim), dtype=self.dtype,
+                                 name=f"{name}_gn{i}")(x)
+                x = act(x)
+            return x
+
+        x = x.astype(self.dtype)
+        skips = []
+        for s in range(k_down):
+            x = stage(x, dims[s], depths[s], f"enc{s}")
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+        x = stage(x, dims[k_down], depths[k_down], "bottleneck")
+        for s in range(k_down):
+            d = k_down + 1 + s
+            x = upsample_trilinear(x)
+            x = jnp.concatenate([x, skips[k_down - 1 - s].astype(x.dtype)], -1)
+            x = stage(x, dims[d], depths[d], f"dec{s}")
+        return nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                       name="head_conv")(x)
