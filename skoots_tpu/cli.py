@@ -1,0 +1,94 @@
+"""``skoots`` console entry point (inference + accessory tools).
+
+Mirrors the reference CLI surface (/root/reference/skoots/__main__.py:11-110):
+``--image``, ``--pretrained-checkpoint``, ``--use-cached``,
+``--skeletonize-train-data``, ``--convert``, ``--log``; directories of .tif
+files are globbed (reference :92-96).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import sys
+
+_LOG_LEVELS = {
+    0: logging.ERROR,
+    1: logging.WARNING,
+    2: logging.INFO,
+    3: logging.DEBUG,
+    4: logging.DEBUG,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="skoots", description=__doc__)
+    p.add_argument("--image", type=str, help="image (or directory of .tif) to segment")
+    p.add_argument(
+        "--pretrained-checkpoint",
+        dest="pretrained_checkpoint",
+        type=str,
+        help="path to a skoots-tpu checkpoint (.skoots)",
+    )
+    p.add_argument("--use-cached", action="store_true", dest="use_cached",
+                   help="reuse cached phase-1 vector/skeleton buffers")
+    p.add_argument("--skeletonize-train-data", type=str, default=None,
+                   help="directory of *.labels.tif to precompute GT skeletons for")
+    p.add_argument("--downscaleXY", type=float, default=1.0)
+    p.add_argument("--downscaleZ", type=float, default=1.0)
+    p.add_argument("--convert", type=str, default=None,
+                   help="convert a saved tensor/volume artifact to tif")
+    p.add_argument("--log", type=int, default=2, help="log level 0-4")
+    p.add_argument("--batch", type=int, default=1, help="tiles per device batch")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=_LOG_LEVELS.get(args.log, logging.INFO),
+        format="[%(asctime)s] %(levelname)s [%(name)s]: %(message)s",
+    )
+
+    if args.skeletonize_train_data:
+        from skoots_tpu.train.generate_skeletons import create_gt_skeletons
+
+        create_gt_skeletons(
+            args.skeletonize_train_data,
+            scale=(1.0 / args.downscaleXY, 1.0 / args.downscaleXY, 1.0 / args.downscaleZ),
+        )
+        return 0
+
+    if args.convert:
+        from skoots_tpu.utils.convert import convert
+
+        convert(args.convert)
+        return 0
+
+    if not args.image or not args.pretrained_checkpoint:
+        print("usage: skoots --image I.tif --pretrained-checkpoint M.skoots",
+              file=sys.stderr)
+        return 2
+
+    from skoots_tpu.infer import run_inference
+
+    if os.path.isdir(args.image):
+        files = sorted(glob.glob(os.path.join(args.image, "*.tif")))
+        files = [f for f in files if ".labels." not in f]
+    else:
+        files = [args.image]
+
+    for f in files:
+        run_inference(
+            f,
+            args.pretrained_checkpoint,
+            use_cached_data=args.use_cached,
+            batch=args.batch,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

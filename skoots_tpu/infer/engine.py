@@ -1,0 +1,307 @@
+"""End-to-end SKOOTS inference: the ``skoots --image`` path, TPU-native.
+
+Re-design of /root/reference/skoots/lib/eval.py:32-320. Same three phases:
+
+  1. UNet sweep over overlap-tiled crops -> vector field + thresholded,
+     dilated skeleton map.
+  2. Flood fill of the skeleton map into labeled skeleton instances.
+  3. Instance assignment: iterated spatial embeddings (N=10) gather the
+     skeleton label at the embedded coordinate.
+
+TPU-first differences:
+  * The per-tile pipeline (normalize -> forward -> threshold -> dilate ->
+    interior trim) is ONE jitted function; only the interior bytes cross the
+    device boundary (the reference ships the whole crop back and slices on
+    host, eval.py:160-176).
+  * Tiles are batched ([B, ...] forward) to keep the MXU fed.
+  * The volume is reflect-padded by the overlap so the output covers every
+    voxel (the reference never writes the outermost overlap band).
+  * Dispatch is pipelined: while the device runs tile t, the host converts
+    tile t-1 and slices tile t+1.
+  * Flood fill runs on-device per tile with host seam union-find
+    (skoots_tpu.ops.flood_fill).
+  * Phase 3 keeps the labeled skeleton resident in HBM; per tile only the
+    embedding gather result returns to host.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+import tracemalloc
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skoots_tpu.config import CfgNode
+from skoots_tpu.models import cfg_to_model
+from skoots_tpu.ops.cropper import crop_origins
+from skoots_tpu.ops.flood_fill import efficient_flood_fill, renumber
+from skoots_tpu.ops.morphology import binary_dilation, binary_dilation_2d
+from skoots_tpu.ops.vec2embed import vector_to_embedding
+from skoots_tpu.train.checkpoint import load_checkpoint, restore_params
+from skoots_tpu.utils.io import imread, imsave
+
+log = logging.getLogger(__name__)
+
+
+def _pad_amounts(dim: int, crop: int, ov: int) -> Tuple[int, int]:
+    """Reflect-pad so tile interiors [ov, padded-ov) cover [0, dim)."""
+    lo = ov
+    hi = max(ov, crop - (dim + lo))  # also guarantees padded >= crop
+    return lo, hi
+
+
+def _make_tile_fn(model, params, mean, std, prob_thr: float):
+    """Phase-1 jitted tile step: [B, X, Y, Z, 1] f32 -> (vec, skel) interiors."""
+
+    @jax.jit
+    def tile_fn(image_tiles: jax.Array):
+        x = (image_tiles - mean) / std
+        out = model.apply(params, x, deterministic=True)
+        vec = out[..., 0:3]
+        skel = out[..., 3:4]
+        prob = out[..., 4:5]
+        keep = (prob > prob_thr).astype(out.dtype)
+        vec = vec * keep
+        skel = skel * keep
+        # reference eval.py:152-157: one 3D dilation + two 2D dilations
+        skel = binary_dilation(skel)
+        skel = binary_dilation_2d(binary_dilation_2d(skel))
+        return vec.astype(jnp.float16), (skel > prob_thr).astype(jnp.uint8)
+
+    return tile_fn
+
+
+def _make_assign_fn(scale: Sequence[float], n_iter: int):
+    """Phase-3 jitted step: labeled skeleton stays on device; returns ids."""
+
+    @jax.jit
+    def assign_fn(skeleton_dev: jax.Array, vec_tiles: jax.Array, offsets: jax.Array):
+        emb = vector_to_embedding(jnp.asarray(scale), vec_tiles, n=n_iter)
+        emb = emb + offsets[:, None, None, None, :].astype(emb.dtype)
+        sx, sy, sz = skeleton_dev.shape
+        idx = jnp.round(emb).astype(jnp.int32)
+        ix = jnp.clip(idx[..., 0], 0, sx - 1)
+        iy = jnp.clip(idx[..., 1], 0, sy - 1)
+        iz = jnp.clip(idx[..., 2], 0, sz - 1)
+        return skeleton_dev[ix, iy, iz]
+
+    return assign_fn
+
+
+def _sweep(
+    volume: np.ndarray,
+    writers,
+    tile_fn,
+    crop: Tuple[int, int, int],
+    overlap: Tuple[int, int, int],
+    batch: int,
+    desc: str,
+):
+    """Generic pipelined tile sweep. ``writers`` is a list of (array, slicer)
+    callbacks receiving interior numpy blocks."""
+    spatial = volume.shape[:3]
+    pads = [_pad_amounts(d, c, o) for d, c, o in zip(spatial, crop, overlap)]
+    padded = np.pad(volume, pads + [(0, 0)] * (volume.ndim - 3), mode="reflect")
+    origins = crop_origins(padded.shape[:3], crop, overlap)
+
+    def gather_batch(batch_origins):
+        tiles = np.stack(
+            [
+                padded[o[0]:o[0]+crop[0], o[1]:o[1]+crop[1], o[2]:o[2]+crop[2]]
+                for o in batch_origins
+            ]
+        )
+        return tiles
+
+    pending = None  # (device results, batch_origins)
+    t0 = time.time()
+    n_batches = (len(origins) + batch - 1) // batch
+    for bi in range(n_batches):
+        batch_origins = origins[bi * batch : (bi + 1) * batch]
+        real = len(batch_origins)
+        while len(batch_origins) < batch:  # pad final batch
+            batch_origins = batch_origins + [batch_origins[-1]]
+        tiles = gather_batch(batch_origins)
+        results = tile_fn(tiles)  # async dispatch
+        if pending is not None:
+            _drain(pending, writers, crop, overlap, pads, spatial)
+        pending = (results, batch_origins[:real])
+    if pending is not None:
+        _drain(pending, writers, crop, overlap, pads, spatial)
+    log.info("%s: %d tiles in %.2fs", desc, len(origins), time.time() - t0)
+
+
+def _drain(pending, writers, crop, overlap, pads, spatial):
+    results, batch_origins = pending
+    results = [np.asarray(r) for r in (results if isinstance(results, tuple) else (results,))]
+    for i, o in enumerate(batch_origins):
+        # interior of the tile in padded coords
+        for w_arr, r in zip(writers, results):
+            _write_interior(w_arr, r[i], o, crop, overlap, pads, spatial)
+
+
+def _write_interior(out_arr, tile, origin, crop, overlap, pads, spatial):
+    src, dst = [], []
+    for ax in range(3):
+        lo = origin[ax] + overlap[ax] - pads[ax][0]  # dest in unpadded coords
+        hi = origin[ax] + crop[ax] - overlap[ax] - pads[ax][0]
+        s_lo, s_hi = overlap[ax], crop[ax] - overlap[ax]
+        if lo < 0:
+            s_lo -= lo
+            lo = 0
+        if hi > spatial[ax]:
+            s_hi -= hi - spatial[ax]
+            hi = spatial[ax]
+        if hi <= lo:
+            return
+        dst.append(slice(lo, hi))
+        src.append(slice(s_lo, s_hi))
+    out_arr[tuple(dst)] = tile[tuple(src)]
+
+
+def run_inference(
+    image_path: str,
+    checkpoint_path: str,
+    use_cached_data: bool = False,
+    crop_size: Tuple[int, int, int] = (300, 300, 20),
+    overlap: Tuple[int, int, int] = (50, 50, 5),
+    assign_crop_size: Tuple[int, int, int] = (500, 500, 50),
+    assign_overlap: Tuple[int, int, int] = (50, 50, 5),
+    prob_threshold: float = 0.8,
+    embed_iterations: int = 10,
+    batch: int = 1,
+    output_path: Optional[str] = None,
+) -> np.ndarray:
+    """Segment a volume. Writes ``<image>_instance_mask.tif`` and
+    ``<image>_skoots_benchmark.txt`` (reference contract, eval.py:285-310).
+
+    Returns the instance mask ``[X, Y, Z]`` int32.
+    """
+    tracemalloc.start()
+    t_start = time.time()
+
+    stem = os.path.splitext(image_path)[0]
+    ckpt = load_checkpoint(checkpoint_path)
+    cfg: CfgNode = ckpt["cfg"]
+
+    volume = imread(image_path)  # [X, Y, Z]
+    x, y, z = volume.shape
+    log.info("loaded %s: shape=%s dtype=%s", image_path, volume.shape, volume.dtype)
+
+    model = cfg_to_model(cfg)
+    # bind loaded weights onto a fresh init (shape-checked)
+    import jax.random as jrandom
+
+    small = tuple(min(16, s) for s in (x, y, z))
+    small = tuple(max(4, (s // 4) * 4) for s in small)
+    template = model.init(
+        {"params": jrandom.PRNGKey(0)},
+        jnp.zeros((1, *small, 1), jnp.float32),
+        deterministic=True,
+    )
+    params = restore_params(template, ckpt["params"])
+
+    mean = float(ckpt.get("dataset_mean", volume.mean()))
+    std = float(ckpt.get("dataset_std", volume.std()))
+    vec_scale = tuple(cfg.SKOOTS.VECTOR_SCALING)
+
+    crop = tuple(min(c, _round4(d)) for c, d in zip(crop_size, (x, y, z)))
+    crop = tuple(max(4, c // 4 * 4) for c in crop)
+    # keep stride >= crop/2: tiny volumes clamp the crop, and carrying the
+    # full-size overlap over would explode the tile count
+    ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
+
+    vec_path = stem + "_skoots_vectors.npy"
+    skel_path = stem + "_skoots_skeleton.npy"
+
+    if use_cached_data and os.path.exists(vec_path) and os.path.exists(skel_path):
+        vectors = np.load(vec_path, mmap_mode="r")
+        skeleton_u8 = np.load(skel_path, mmap_mode="r")
+        bench_start = time.time()
+    else:
+        vectors = np.zeros((x, y, z, 3), np.float16)
+        skeleton_u8 = np.zeros((x, y, z), np.uint8)
+        tile_fn = _make_tile_fn(model, params, mean, std, prob_threshold)
+        bench_start = time.time()
+        _sweep(
+            volume[..., None].astype(np.float32),
+            [vectors, skeleton_u8[..., None]],
+            lambda t: _expand_skel(tile_fn(jnp.asarray(t))),
+            crop,
+            ov,
+            batch,
+            "phase1-unet",
+        )
+        np.save(vec_path, vectors)
+        np.save(skel_path, skeleton_u8)
+
+    # ---------------------------------------------------------------- phase 2
+    log.info("phase 2: flood fill")
+    labeled = efficient_flood_fill(np.asarray(skeleton_u8))
+
+    # ---------------------------------------------------------------- phase 3
+    log.info("phase 3: instance assignment")
+    instance_mask = np.zeros((x, y, z), np.int32)
+    a_crop = tuple(min(c, _round4(d)) for c, d in zip(assign_crop_size, (x, y, z)))
+    a_crop = tuple(max(4, c // 4 * 4) for c in a_crop)
+    a_ov = tuple(min(o, c // 4) for o, c in zip(assign_overlap, a_crop))
+
+    skeleton_dev = jnp.asarray(labeled)
+    assign = _make_assign_fn(vec_scale, embed_iterations)
+
+    pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
+    padded_vec = np.pad(
+        np.asarray(vectors), pads + [(0, 0)], mode="reflect"
+    )
+    origins = crop_origins(padded_vec.shape[:3], a_crop, a_ov)
+    for bi in range(0, len(origins), batch):
+        batch_origins = origins[bi : bi + batch]
+        real = len(batch_origins)
+        while len(batch_origins) < batch:
+            batch_origins = batch_origins + [batch_origins[-1]]
+        tiles = np.stack(
+            [
+                padded_vec[o[0]:o[0]+a_crop[0], o[1]:o[1]+a_crop[1], o[2]:o[2]+a_crop[2]]
+                for o in batch_origins
+            ]
+        ).astype(np.float32)
+        # offsets map padded-tile coords back into unpadded volume coords
+        offs = np.asarray(
+            [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],
+            np.float32,
+        )
+        ids = np.asarray(assign(skeleton_dev, jnp.asarray(tiles), jnp.asarray(offs)))
+        for i, o in enumerate(batch_origins[:real]):
+            _write_interior(
+                instance_mask, ids[i], o, a_crop, a_ov, pads, (x, y, z)
+            )
+
+    # benchmark report (reference contract eval.py:285-295)
+    dt = time.time() - bench_start
+    cur, peak = tracemalloc.get_traced_memory()
+    with open(stem + "_skoots_benchmark.txt", "w") as f:
+        f.write("SKOOTS Segmentation Benchmark:\n")
+        f.write("------------------------------\n")
+        f.write(f"Time: {dt} seconds\n")
+        f.write(f"Memory (current/max): {(cur, peak)}\n\n")
+    log.info("segmentation took %.2fs (peak host mem %.1f MB)", dt, peak / 1e6)
+
+    instance_mask, _ = renumber(instance_mask)
+    out_path = output_path or (stem + "_instance_mask.tif")
+    imsave(out_path, instance_mask.astype(np.int32))
+    log.info("wrote %s (total %.2fs)", out_path, time.time() - t_start)
+    return instance_mask
+
+
+def _expand_skel(res):
+    vec, skel = res
+    return vec, skel  # skel already [B, X, Y, Z, 1] uint8
+
+
+def _round4(d: int) -> int:
+    return max(4, (d // 4) * 4) if d >= 4 else d

@@ -1,0 +1,91 @@
+"""Synthetic mitochondria-like volumes for tests, benchmarks and demos.
+
+The reference ships no test data (SURVEY.md section 4); this generator makes
+EM-plausible tube phantoms with known instance masks and skeletons so every
+layer (ops, model, train, infer, validate) can be exercised hermetically.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def make_tubes(
+    shape: Tuple[int, int, int] = (128, 128, 16),
+    n_tubes: int = 4,
+    radius: int = 5,
+    seed: int = 101196,
+) -> Tuple[np.ndarray, np.ndarray, Dict[int, np.ndarray]]:
+    """Random smooth tubes. Returns (image u8 [X,Y,Z], labels int32 [X,Y,Z],
+    skeletons {id: [M, 3] float32})."""
+    rng = np.random.default_rng(seed)
+    x, y, z = shape
+    labels = np.zeros(shape, np.int32)
+    skeletons: Dict[int, np.ndarray] = {}
+
+    xx, yy, zz = np.meshgrid(
+        np.arange(x), np.arange(y), np.arange(z), indexing="ij"
+    )
+    for tid in range(1, n_tubes + 1):
+        # random smooth path along a random principal direction
+        n_pts = max(x, y) // 2
+        t = np.linspace(0, 1, n_pts)
+        start = rng.uniform([radius + 1] * 3, [x - radius - 1, y - radius - 1, z - 2])
+        end = rng.uniform([radius + 1] * 3, [x - radius - 1, y - radius - 1, z - 2])
+        wig = rng.normal(0, 2.0, (3, 3))
+        path = (
+            start[None, :] * (1 - t[:, None])
+            + end[None, :] * t[:, None]
+            + np.stack(
+                [np.sin(t * np.pi * (k + 1)) for k in range(3)], 1
+            ) @ wig
+        )
+        path[:, 0] = np.clip(path[:, 0], 1, x - 2)
+        path[:, 1] = np.clip(path[:, 1], 1, y - 2)
+        path[:, 2] = np.clip(path[:, 2], 1, z - 2)
+        skeletons[tid] = path.astype(np.float32)
+
+        # paint the tube: distance to the polyline under z-anisotropy
+        d2min = np.full(shape, np.inf)
+        for p in path[:: max(1, n_pts // 32)]:
+            d2 = (xx - p[0]) ** 2 + (yy - p[1]) ** 2 + ((zz - p[2]) * 3.0) ** 2
+            np.minimum(d2min, d2, out=d2min)
+        tube = d2min <= radius**2
+        labels[tube & (labels == 0)] = tid
+
+    img = np.full(shape, 40.0)
+    img += (labels > 0) * 120.0
+    img += np.random.default_rng(seed + 1).normal(0, 12.0, shape)
+    image = np.clip(img, 0, 255).astype(np.uint8)
+    return image, labels, skeletons
+
+
+def perfect_prediction(
+    labels: np.ndarray,
+    skeletons: Dict[int, np.ndarray],
+    vector_scale: Tuple[float, float, float] = (60.0, 60.0, 12.0),
+) -> np.ndarray:
+    """Fabricate the ideal 5-channel network output for a labeled volume:
+    vectors point at the nearest own-instance skeleton vertex, skeleton
+    channel marks a tube around skeleton points, semantic channel is the
+    foreground mask. Channels-last [X, Y, Z, 5] float32."""
+    import jax.numpy as jnp
+
+    from skoots_tpu.ops.skeleton import bake_skeleton, skeleton_to_mask
+    from skoots_tpu.ops.vec2embed import coordinate_mesh
+
+    lab = jnp.asarray(labels)
+    baked = bake_skeleton(lab, skeletons, average=False)
+    mesh = coordinate_mesh(labels.shape)
+    scale = np.asarray(vector_scale, np.float32)
+    vec = np.asarray(baked - mesh) / scale
+    vec = np.clip(vec, -1, 1) * (labels > 0)[..., None]
+    skel_mask = np.asarray(
+        skeleton_to_mask(skeletons, labels.shape, radius=2, flank_radius=1)
+    )
+    sem = (labels > 0).astype(np.float32)
+    return np.concatenate(
+        [vec, skel_mask[..., None] * sem[..., None], sem[..., None]], axis=-1
+    ).astype(np.float32)

@@ -1,0 +1,139 @@
+"""End-to-end inference engine tests (synthetic volume, tiny model)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from skoots_tpu.config import get_cfg_defaults
+from skoots_tpu.models import init_model
+from skoots_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from skoots_tpu.utils.io import imread, imsave
+from skoots_tpu.utils.synthetic import make_tubes
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ckpt")
+    cfg = get_cfg_defaults()
+    cfg.MODEL.DIMS = [4, 8, 16, 8, 4]
+    cfg.MODEL.DEPTHS = [1, 1, 1, 1, 1]
+    cfg.MODEL.OUT_CHANNELS = 4
+    cfg.MODEL.KERNEL_SIZE = 3
+    model, params = init_model(cfg, jax.random.PRNGKey(0), spatial=(16, 16, 8))
+    path = str(tmp / "model.skoots")
+    save_checkpoint(path, cfg, params, dataset_mean=100.0, dataset_std=50.0)
+    return path
+
+
+@pytest.fixture(scope="module")
+def tube_tif(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("data")
+    image, labels, skels = make_tubes(shape=(64, 64, 8), n_tubes=2)
+    path = str(tmp / "vol.tif")
+    imsave(path, image)
+    return path, image
+
+
+class TestCheckpointRoundtrip:
+    def test_save_load(self, tiny_ckpt):
+        state = load_checkpoint(tiny_ckpt)
+        assert state["dataset_mean"] == 100.0
+        assert state["dataset_std"] == 50.0
+        assert state["cfg"].MODEL.DIMS == [4, 8, 16, 8, 4]
+        assert "params" in state
+
+    def test_bad_magic_raises(self, tmp_path):
+        p = tmp_path / "bad.skoots"
+        p.write_bytes(b"not a checkpoint")
+        with pytest.raises(RuntimeError, match="bad magic"):
+            load_checkpoint(str(p))
+
+
+class TestIO:
+    def test_tif_roundtrip(self, tmp_path):
+        vol = (np.random.default_rng(0).random((32, 24, 6)) * 255).astype(np.uint8)
+        p = str(tmp_path / "x.tif")
+        imsave(p, vol)
+        back = imread(p)
+        np.testing.assert_array_equal(back, vol)
+
+    def test_int32_labels_roundtrip(self, tmp_path):
+        vol = np.arange(32 * 24 * 4, dtype=np.int32).reshape(32, 24, 4) % 70000
+        p = str(tmp_path / "lab.tif")
+        imsave(p, vol)
+        back = imread(p)
+        np.testing.assert_array_equal(back, vol)
+
+
+class TestRunInference:
+    def test_full_pipeline_artifacts(self, tiny_ckpt, tube_tif):
+        from skoots_tpu.infer import run_inference
+
+        path, image = tube_tif
+        mask = run_inference(
+            path,
+            tiny_ckpt,
+            crop_size=(48, 48, 8),
+            overlap=(8, 8, 0),
+            assign_crop_size=(48, 48, 8),
+            assign_overlap=(8, 8, 0),
+            batch=2,
+        )
+        assert mask.shape == image.shape
+        assert mask.dtype == np.int32
+        stem = os.path.splitext(path)[0]
+        assert os.path.exists(stem + "_instance_mask.tif")
+        assert os.path.exists(stem + "_skoots_benchmark.txt")
+        with open(stem + "_skoots_benchmark.txt") as f:
+            assert "Time:" in f.read()
+        # output readable and matches
+        saved = imread(stem + "_instance_mask.tif")
+        np.testing.assert_array_equal(saved, mask)
+
+    def test_cached_rerun(self, tiny_ckpt, tube_tif):
+        from skoots_tpu.infer import run_inference
+
+        path, _ = tube_tif
+        m1 = run_inference(
+            path, tiny_ckpt, crop_size=(48, 48, 8), overlap=(8, 8, 0),
+            assign_crop_size=(48, 48, 8), assign_overlap=(8, 8, 0),
+        )
+        m2 = run_inference(
+            path, tiny_ckpt, use_cached_data=True,
+            crop_size=(48, 48, 8), overlap=(8, 8, 0),
+            assign_crop_size=(48, 48, 8), assign_overlap=(8, 8, 0),
+        )
+        np.testing.assert_array_equal(m1, m2)
+
+
+class TestTileVsWhole:
+    def test_oracle_segmentation_exact(self):
+        """Tile-vs-whole property: feeding the ORACLE prediction through
+        phases 2+3 machinery recovers the ground-truth partition exactly."""
+        import jax.numpy as jnp
+
+        from skoots_tpu.ops import (
+            efficient_flood_fill,
+            index_skeleton_by_embed,
+            vector_to_embedding,
+        )
+        from skoots_tpu.utils.synthetic import make_tubes, perfect_prediction
+
+        image, labels, skels = make_tubes(shape=(64, 64, 12), n_tubes=3, seed=7)
+        pred = perfect_prediction(labels, skels)
+        skel_mask = (pred[..., 3] > 0.5).astype(np.uint8)
+        labeled = efficient_flood_fill(skel_mask, crop_size=(32, 32, 12))
+        emb = vector_to_embedding(
+            jnp.array([60.0, 60.0, 12.0]), jnp.asarray(pred[None, ..., 0:3]), n=1
+        )
+        inst = np.asarray(
+            index_skeleton_by_embed(jnp.asarray(labeled), emb)
+        )[0] * (labels > 0)
+        n_gt = len(np.unique(labels)) - 1
+        # every gt object maps to exactly one instance id
+        for gid in range(1, n_gt + 1):
+            ids, counts = np.unique(inst[labels == gid], return_counts=True)
+            dom = counts.max() / counts.sum()
+            assert dom > 0.95, f"object {gid} fragmented: {ids}, {counts}"
