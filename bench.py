@@ -1,0 +1,132 @@
+"""skoots-tpu headline benchmark.
+
+End-to-end skeleton-guided instance segmentation of a synthetic EM volume,
+fully on device (skoots_tpu.infer.device_pipeline): tiled UNeXT sweep +
+threshold/dilate + whole-volume connected components + N=10 embedding walk +
+instance gather, as ONE compiled program. Prints one JSON line:
+
+    {"metric": "e2e_seg_throughput_512", "value": <vox/s>, "unit": "vox/s",
+     "vs_baseline": <value / 3.0e6>}
+
+Baseline derivation (BASELINE.md: reference publishes no numbers, so the
+yardstick is estimated from its measured mechanism): the reference sweeps
+512^3 with crop 300x300x20 / overlap 50x50x5 (6.1x voxel redundancy,
+eval.py:126-178), runs scipy flood fill on host (tens of seconds at 512^3),
+and a second sweep for assignment. With torch.compile fp16 on A100 at
+~20 ms/crop and ~450 crops, phase 1 alone is ~9 s; phases 2+3 add host CC +
+embedding sweeps — a ~45 s end-to-end wall-clock for 134 Mvox, i.e.
+~3.0 Mvox/s. vs_baseline = ours / 3.0e6.
+
+Environment knobs: BENCH_SHAPE="512,512,512" (default), BENCH_REPEATS=2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_VOX_PER_S = 3.0e6
+
+
+def _run(shape, crop, overlap, repeats) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from skoots_tpu.config import get_cfg_defaults
+    from skoots_tpu.infer.device_pipeline import make_device_pipeline
+    from skoots_tpu.models import cfg_to_model
+
+    cfg = get_cfg_defaults()
+    model = cfg_to_model(cfg)
+
+    # init params in ONE jitted program (per-leaf host init is pathologically
+    # slow through the axon relay)
+    dummy = jnp.zeros((1, 64, 64, 16, 1), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init({"params": k}, dummy, deterministic=True)
+    )(jax.random.PRNGKey(0))
+
+    pipe = make_device_pipeline(
+        model,
+        shape,
+        crop=crop,
+        overlap=overlap,
+        embed_iterations=10,
+        cc_rounds=24,
+    )
+
+    # synthesize the volume ON DEVICE: no bulk host->device transfer
+    volume = jax.jit(
+        lambda k: jax.random.uniform(k, shape, jnp.float32, 0.0, 255.0)
+    )(jax.random.PRNGKey(1))
+
+    mean, std = jnp.float32(128.0), jnp.float32(64.0)
+
+    def once():
+        out = pipe(params, volume, mean, std)
+        # scalar fetch forces completion of the full on-device chain
+        return int(jnp.max(out)), out
+
+    t0 = time.time()
+    chk, _ = once()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        chk, _ = once()
+        times.append(time.time() - t0)
+    best = min(times)
+    vox = shape[0] * shape[1] * shape[2]
+    return {
+        "vox_per_s": vox / best,
+        "seconds": best,
+        "compile_s": compile_s,
+        "checksum": chk,
+        "shape": list(shape),
+    }
+
+
+def main() -> int:
+    shape = tuple(
+        int(v) for v in os.environ.get("BENCH_SHAPE", "512,512,512").split(",")
+    )
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    attempts = [
+        (shape, (256, 256, 64), (16, 16, 8)),
+        ((256, 256, 256), (128, 128, 64), (16, 16, 8)),
+        ((128, 128, 32), (64, 64, 16), (8, 8, 2)),
+    ]
+    err = None
+    for shp, crop, ov in attempts:
+        try:
+            res = _run(shp, crop, ov, repeats)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"e2e_seg_throughput_{shp[0]}",
+                        "value": round(res["vox_per_s"], 1),
+                        "unit": "vox/s",
+                        "vs_baseline": round(res["vox_per_s"] / BASELINE_VOX_PER_S, 3),
+                        "detail": {
+                            "seconds": round(res["seconds"], 3),
+                            "compile_s": round(res["compile_s"], 1),
+                            "shape": res["shape"],
+                            "baseline_note": "est. reference A100 e2e ~3.0 Mvox/s (see module docstring)",
+                        },
+                    }
+                )
+            )
+            return 0
+        except Exception as e:  # try a smaller envelope before giving up
+            err = e
+            print(f"# bench attempt {shp} failed: {e!r}", file=sys.stderr)
+    print(json.dumps({"metric": "e2e_seg_throughput", "value": 0, "unit": "vox/s",
+                      "vs_baseline": 0, "error": repr(err)}))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

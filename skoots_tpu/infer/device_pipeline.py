@@ -1,0 +1,145 @@
+"""Whole-volume ON-DEVICE segmentation pipeline.
+
+The reference streams every crop host<->GPU and runs flood fill on the CPU
+(/root/reference/skoots/lib/eval.py:126-284) — device boundary crossings per
+crop are its structural bottleneck. On TPU, a 512^3 volume and all
+intermediates fit in HBM, so the ENTIRE pipeline — tiled UNet sweep, skeleton
+thresholding/dilation, connected components, N-step embedding walk, instance
+gather — compiles into ONE jitted program:
+
+    volume [X,Y,Z] f32 (HBM) -> instance labels [X,Y,Z] int32 (HBM)
+
+* The tile sweep is a ``lax.fori_loop`` over a static origin table with
+  ``dynamic_slice``/``dynamic_update_slice`` — one compile for all tiles.
+* Flood fill is the pointer-jumping label propagation of
+  ``skoots_tpu.ops.flood_fill.label_components`` on the full volume — no
+  crop seams, no host union-find.
+* Only a scalar (or the final mask) ever needs to leave the device.
+
+For volumes beyond HBM, the host-streaming path in
+``skoots_tpu.infer.engine`` takes over.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skoots_tpu.ops.cropper import crop_origins
+from skoots_tpu.ops.flood_fill import label_components
+from skoots_tpu.ops.morphology import binary_dilation, binary_dilation_2d
+from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+
+def make_device_pipeline(
+    model,
+    volume_shape: Tuple[int, int, int],
+    crop: Tuple[int, int, int] = (256, 256, 16),
+    overlap: Tuple[int, int, int] = (16, 16, 2),
+    vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
+    prob_threshold: float = 0.8,
+    embed_iterations: int = 10,
+    cc_rounds: int = 32,
+    dtype=jnp.bfloat16,
+):
+    """Build the jitted whole-volume pipeline for a fixed volume shape.
+
+    Returns ``pipeline(params, volume, mean, std) -> labels [X, Y, Z] int32``.
+    """
+    x, y, z = volume_shape
+    crop = tuple(min(c, _round4(d)) for c, d in zip(crop, volume_shape))
+    ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
+    # pad by the overlap so every tile interior write is in-bounds and the
+    # full original volume is covered by interiors
+    pads = [(o, max(o, c - (d + o))) for d, c, o in zip(volume_shape, crop, ov)]
+    px = x + pads[0][0] + pads[0][1]
+    py = y + pads[1][0] + pads[1][1]
+    pz = z + pads[2][0] + pads[2][1]
+    origins = np.asarray(
+        crop_origins((px, py, pz), crop, ov), np.int32
+    )  # [T, 3] static
+    cx, cy, cz = crop
+    ox, oy, oz = ov
+    interior = (
+        slice(ox, cx - ox) if ox else slice(0, cx),
+        slice(oy, cy - oy) if oy else slice(0, cy),
+        slice(oz, cz - oz) if oz else slice(0, cz),
+    )
+
+    @jax.jit
+    def pipeline(params, volume, mean, std):
+        vol = ((volume.astype(jnp.float32) - mean) / std)
+        vol = jnp.pad(vol, pads, mode="reflect")
+        origin_table = jnp.asarray(origins)
+
+        vec_buf = jnp.zeros((px, py, pz, 3), dtype)
+        skel_buf = jnp.zeros((px, py, pz), jnp.uint8)
+
+        def tile_body(i, carry):
+            vec_buf, skel_buf = carry
+            o = origin_table[i]
+            tile = jax.lax.dynamic_slice(vol, (o[0], o[1], o[2]), crop)
+            out = model.apply(params, tile[None, ..., None], deterministic=True)[0]
+            vec = out[..., 0:3]
+            skel = out[..., 3:4]
+            prob = out[..., 4:5]
+            keep = (prob > prob_threshold).astype(out.dtype)
+            vec = vec * keep
+            skel = skel * keep
+            # reference dilation stack (eval.py:152-157)
+            s5 = skel[None]
+            s5 = binary_dilation(s5)
+            s5 = binary_dilation_2d(binary_dilation_2d(s5))
+            skel_bin = (s5[0, ..., 0] > prob_threshold).astype(jnp.uint8)
+
+            vec_buf = jax.lax.dynamic_update_slice(
+                vec_buf,
+                vec[interior].astype(dtype),
+                (o[0] + ox, o[1] + oy, o[2] + oz, 0),
+            )
+            skel_buf = jax.lax.dynamic_update_slice(
+                skel_buf,
+                skel_bin[interior],
+                (o[0] + ox, o[1] + oy, o[2] + oz),
+            )
+            return vec_buf, skel_buf
+
+        vec_buf, skel_buf = jax.lax.fori_loop(
+            0, origins.shape[0], tile_body, (vec_buf, skel_buf)
+        )
+
+        # trim padding -> original volume grid
+        vec_full = jax.lax.dynamic_slice(
+            vec_buf, (pads[0][0], pads[1][0], pads[2][0], 0), (x, y, z, 3)
+        )
+        skel_full = jax.lax.dynamic_slice(
+            skel_buf, (pads[0][0], pads[1][0], pads[2][0]), (x, y, z)
+        )
+
+        # phase 2: whole-volume connected components, on device, seam-free
+        labels = label_components(skel_full, max_rounds=cc_rounds)
+
+        # phase 3: iterated embedding walk + instance gather
+        emb = vector_to_embedding(
+            jnp.asarray(vector_scale, jnp.float32),
+            vec_full[None].astype(jnp.float32),
+            n=embed_iterations,
+        )[0]
+        idx = jnp.round(emb).astype(jnp.int32)
+        ix = jnp.clip(idx[..., 0], 0, x - 1)
+        iy = jnp.clip(idx[..., 1], 0, y - 1)
+        iz = jnp.clip(idx[..., 2], 0, z - 1)
+        inst = labels[ix, iy, iz]
+        # voxels whose vectors were zeroed by the semantic gate stay background
+        fg = jnp.any(vec_full != 0, axis=-1)
+        return jnp.where(fg, inst, 0)
+
+    return pipeline
+
+
+def _round4(d: int) -> int:
+    return max(4, (d // 4) * 4)

@@ -1,0 +1,299 @@
+"""Training engine: jitted data-parallel train step + epoch loop.
+
+Re-design of /root/reference/skoots/train/engine.py:57-632. One process, one
+jitted ``train_step`` sharded over the ('data','space') mesh — the mesh
+replaces DDP/NCCL (grad psum is inserted by XLA), cfg-registry optimizers
+come from optax, the cosine-warm-restart schedule is a pure function of the
+epoch, and the loss stack / epoch gating / sigma annealing match the
+reference semantics (engine.py:461-499).
+
+The reference's 1500-step inductor warmup (engine.py:370-398) has no
+analogue: XLA compiles the step once.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from skoots_tpu.config import CfgNode
+from skoots_tpu.models import cfg_to_model, split_output
+from skoots_tpu.ops.embed2prob import baked_embed_to_prob
+from skoots_tpu.ops.vec2embed import vector_to_embedding
+from skoots_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from skoots_tpu.train.checkpoint import load_checkpoint, restore_params, save_checkpoint
+from skoots_tpu.train.losses import cfg_loss
+from skoots_tpu.train.sigma import Sigma, init_sigma
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+# ------------------------------------------------------------------ registries
+# (reference engine.py:37-51)
+
+
+def _warm_restart_schedule(base_lr: float, t0: int) -> Callable:
+    """Cosine annealing with warm restarts, stepped per-epoch
+    (torch CosineAnnealingWarmRestarts equivalent, engine.py:308-310)."""
+
+    def schedule(epoch):
+        t = jnp.mod(epoch, t0).astype(jnp.float32)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t / t0))
+
+    return schedule
+
+
+def cfg_optimizer(cfg: CfgNode) -> tuple[optax.GradientTransformation, Callable]:
+    lr = cfg.TRAIN.LEARNING_RATE
+    wd = cfg.TRAIN.WEIGHT_DECAY
+    eps = cfg.TRAIN.OPTIMIZER_EPS
+    kwargs = dict(
+        zip(cfg.TRAIN.OPTIMIZER_KEYWORD_ARGUMENTS, cfg.TRAIN.OPTIMIZER_KEYWORD_VALUES)
+    )
+    name = cfg.TRAIN.OPTIMIZER.lower()
+    if cfg.TRAIN.SCHEDULER == "cosine_annealing_warm_restarts":
+        schedule = _warm_restart_schedule(lr, cfg.TRAIN.SCHEDULER_T0)
+    else:
+        schedule = lambda e: jnp.asarray(lr)
+
+    # lr is injected per-epoch via inject_hyperparams so the schedule can be
+    # driven by epoch (reference steps the torch scheduler once per epoch)
+    if name == "adamw":
+        opt = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=wd, eps=eps, **kwargs
+        )
+    elif name == "adam":
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr, eps=eps, **kwargs)
+    elif name == "sgd":
+        opt = optax.inject_hyperparams(optax.sgd)(learning_rate=lr, **kwargs)
+    elif name == "adamax":
+        opt = optax.inject_hyperparams(optax.adamax)(learning_rate=lr, eps=eps, **kwargs)
+    else:
+        raise RuntimeError(f"unknown optimizer {name!r}")
+    return opt, schedule
+
+
+# ------------------------------------------------------------------ train step
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    schedule: Callable,
+    sigma: Sigma,
+    cfg: CfgNode,
+    mesh=None,
+):
+    """Build the jitted train step.
+
+    Batch dict (channels-last, all fixed shapes):
+        image:       [B, X, Y, Z, 1] float32 (normalized)
+        masks:       [B, X, Y, Z, 1] float32 (binary foreground)
+        baked:       [B, X, Y, Z, 3] float32 (baked skeleton coordinates)
+        skele_masks: [B, X, Y, Z, 1] float32 (binary skeleton stamp)
+    """
+    vector_scale = jnp.asarray(cfg.SKOOTS.VECTOR_SCALING, jnp.float32)
+    loss_embed = cfg_loss(
+        cfg.TRAIN.LOSS_EMBED, cfg.TRAIN.LOSS_EMBED_KEYWORDS, cfg.TRAIN.LOSS_EMBED_VALUES
+    )
+    loss_prob = cfg_loss(
+        cfg.TRAIN.LOSS_PROBABILITY,
+        cfg.TRAIN.LOSS_PROBABILITY_KEYWORDS,
+        cfg.TRAIN.LOSS_PROBABILITY_VALUES,
+    )
+    loss_skele = cfg_loss(
+        cfg.TRAIN.LOSS_SKELETON,
+        cfg.TRAIN.LOSS_SKELETON_KEYWORDS,
+        cfg.TRAIN.LOSS_SKELETON_VALUES,
+    )
+    w_e = cfg.TRAIN.LOSS_EMBED_RELATIVE_WEIGHT
+    w_p = cfg.TRAIN.LOSS_PROBABILITY_RELATIVE_WEIGHT
+    w_s = cfg.TRAIN.LOSS_SKELETON_RELATIVE_WEIGHT
+    e0_e = cfg.TRAIN.LOSS_EMBED_START_EPOCH
+    e0_p = cfg.TRAIN.LOSS_PROBABILITY_START_EPOCH
+    e0_s = cfg.TRAIN.LOSS_SKELETON_START_EPOCH
+
+    def loss_fn(params, batch, epoch, rngs):
+        out = model.apply(params, batch["image"], deterministic=False, rngs=rngs)
+        vec, skel, prob = split_output(out)
+        embedding = vector_to_embedding(vector_scale, vec)
+        embed_prob = baked_embed_to_prob(embedding, batch["baked"], sigma(epoch))
+
+        gt_fg = (batch["masks"] > 0).astype(jnp.float32)
+        gt_skel = (batch["skele_masks"] > 0).astype(jnp.float32)
+
+        l_e = loss_embed(embed_prob, gt_fg)
+        l_p = loss_prob(prob, gt_fg)
+        l_s = loss_skele(skel, gt_skel)
+
+        # epoch gating (reference engine.py:480-496; strict >)
+        g_e = (epoch > e0_e).astype(jnp.float32)
+        g_p = (epoch > e0_p).astype(jnp.float32)
+        g_s = (epoch > e0_s).astype(jnp.float32)
+        total = w_e * g_e * l_e + w_p * g_p * l_p + w_s * g_s * l_s
+        return total, {"loss": total, "embed": l_e, "prob": l_p, "skele": l_s}
+
+    def train_step(state: TrainState, batch: Dict, epoch: jax.Array, rng: jax.Array):
+        rngs = {"droppath": jax.random.fold_in(rng, state.step)}
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, epoch, rngs
+        )
+        # set per-epoch lr (inject_hyperparams exposes .hyperparams)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = schedule(epoch)
+        updates, new_opt = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["lr"] = opt_state.hyperparams["learning_rate"]
+        return TrainState(step=state.step + 1, params=params, opt_state=new_opt), metrics
+
+    if mesh is not None:
+        bs = lambda nd: batch_sharding(mesh, nd)
+        rep = replicated(mesh)
+        batch_shardings = {
+            "image": bs(5), "masks": bs(5), "baked": bs(5), "skele_masks": bs(5),
+        }
+        return jax.jit(
+            train_step,
+            in_shardings=(rep, batch_shardings, rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, sigma: Sigma, cfg: CfgNode):
+    """Validation step (no grad), same loss stack (engine.py:536-625)."""
+    vector_scale = jnp.asarray(cfg.SKOOTS.VECTOR_SCALING, jnp.float32)
+    loss_embed = cfg_loss(
+        cfg.TRAIN.LOSS_EMBED, cfg.TRAIN.LOSS_EMBED_KEYWORDS, cfg.TRAIN.LOSS_EMBED_VALUES
+    )
+    loss_prob = cfg_loss(
+        cfg.TRAIN.LOSS_PROBABILITY,
+        cfg.TRAIN.LOSS_PROBABILITY_KEYWORDS,
+        cfg.TRAIN.LOSS_PROBABILITY_VALUES,
+    )
+    loss_skele = cfg_loss(
+        cfg.TRAIN.LOSS_SKELETON,
+        cfg.TRAIN.LOSS_SKELETON_KEYWORDS,
+        cfg.TRAIN.LOSS_SKELETON_VALUES,
+    )
+
+    @jax.jit
+    def eval_step(params, batch, epoch):
+        out = model.apply(params, batch["image"], deterministic=True)
+        vec, skel, prob = split_output(out)
+        embedding = vector_to_embedding(vector_scale, vec)
+        embed_prob = baked_embed_to_prob(embedding, batch["baked"], sigma(epoch))
+        gt_fg = (batch["masks"] > 0).astype(jnp.float32)
+        gt_skel = (batch["skele_masks"] > 0).astype(jnp.float32)
+        return {
+            "embed": loss_embed(embed_prob, gt_fg),
+            "prob": loss_prob(prob, gt_fg),
+            "skele": loss_skele(skel, gt_skel),
+        }
+
+    return eval_step
+
+
+# ------------------------------------------------------------------ full loop
+
+
+def train(
+    cfg: CfgNode,
+    data_iter: Callable[[int], Any],
+    val_iter: Optional[Callable[[int], Any]] = None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+    writer=None,
+    mesh=None,
+    init_spatial=(64, 64, 16),
+) -> TrainState:
+    """Run the training loop.
+
+    ``data_iter(epoch)`` yields batch dicts (see make_train_step). This
+    engine is deliberately I/O-agnostic: the dataset/transform pipeline in
+    skoots_tpu.train.data builds such iterators.
+    """
+    rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
+    model = cfg_to_model(cfg)
+    params = model.init(
+        {"params": rng}, jnp.zeros((1, *init_spatial, 1), jnp.float32),
+        deterministic=True,
+    )
+
+    if cfg.TRAIN.PRETRAINED_MODEL_PATH:
+        ckpt = load_checkpoint(cfg.TRAIN.PRETRAINED_MODEL_PATH[0])
+        params = restore_params(params, ckpt["params"])
+        log.info("loaded pretrained params from %s", cfg.TRAIN.PRETRAINED_MODEL_PATH[0])
+
+    optimizer, schedule = cfg_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    if cfg.TRAIN.LOAD_PRETRAINED_OPTIMIZER and cfg.TRAIN.PRETRAINED_MODEL_PATH:
+        ckpt = load_checkpoint(cfg.TRAIN.PRETRAINED_MODEL_PATH[0])
+        if ckpt.get("opt_state") is not None:
+            opt_state = restore_params(opt_state, ckpt["opt_state"])
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    sigma = init_sigma(cfg)
+    train_step = make_train_step(model, optimizer, schedule, sigma, cfg, mesh)
+    eval_step = make_eval_step(model, sigma, cfg) if val_iter else None
+
+    os.makedirs(cfg.TRAIN.SAVE_PATH, exist_ok=True)
+    save_name = os.path.join(
+        cfg.TRAIN.SAVE_PATH, time.strftime("%b%d_%H-%M-%S") + ".skoots"
+    )
+
+    epochs = cfg.TRAIN.NUM_EPOCHS
+    for e in range(epochs):
+        t0 = time.time()
+        agg: Dict[str, list] = {}
+        for batch in data_iter(e):
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, jnp.asarray(e), sub)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(v)
+        means = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in agg.items()}
+        log.info("epoch %d: %s (%.2fs)", e, means, time.time() - t0)
+        if writer is not None:
+            for k, v in means.items():
+                writer.add_scalar(f"Loss/{k}" if k != "lr" else "lr", v, e)
+
+        if val_iter and eval_step and e % cfg.TRAIN.VALIDATE_EPOCH_SKIP == 0:
+            vagg: Dict[str, list] = {}
+            for batch in val_iter(e):
+                m = eval_step(state.params, batch, jnp.asarray(e))
+                for k, v in m.items():
+                    vagg.setdefault(k, []).append(v)
+            vmeans = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in vagg.items()}
+            log.info("epoch %d validation: %s", e, vmeans)
+            if writer is not None:
+                for k, v in vmeans.items():
+                    writer.add_scalar(f"Validation/{k}", v, e)
+
+        if (e + 1) % cfg.TRAIN.SAVE_INTERVAL == 0 or e == epochs - 1:
+            save_checkpoint(
+                save_name, cfg, state.params, state.opt_state,
+                dataset_mean=dataset_mean, dataset_std=dataset_std,
+                extra={"epoch": e},
+            )
+            log.info("checkpoint -> %s", save_name)
+
+    return state
