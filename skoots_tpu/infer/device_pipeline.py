@@ -123,20 +123,34 @@ def make_device_pipeline(
         # phase 2: whole-volume connected components, on device, seam-free
         labels = label_components(skel_full, max_rounds=cc_rounds)
 
-        # phase 3: iterated embedding walk + instance gather
-        emb = vector_to_embedding(
-            jnp.asarray(vector_scale, jnp.float32),
-            vec_full[None].astype(jnp.float32),
-            n=embed_iterations,
-        )[0]
-        idx = jnp.round(emb).astype(jnp.int32)
-        ix = jnp.clip(idx[..., 0], 0, x - 1)
-        iy = jnp.clip(idx[..., 1], 0, y - 1)
-        iz = jnp.clip(idx[..., 2], 0, z - 1)
-        inst = labels[ix, iy, iz]
-        # voxels whose vectors were zeroed by the semantic gate stay background
-        fg = jnp.any(vec_full != 0, axis=-1)
-        return jnp.where(fg, inst, 0)
+        # phase 3: iterated embedding walk + instance gather, TILED — the
+        # full-volume f32 embedding would need several multi-GB temporaries
+        # at 512^3; per-tile it is bounded by the tile size
+        a_origins = jnp.asarray(
+            np.asarray(crop_origins((x, y, z), crop, (0, 0, 0)), np.int32)
+        )
+        scale_arr = jnp.asarray(vector_scale, jnp.float32)
+        inst_buf = jnp.zeros((x, y, z), jnp.int32)
+
+        def assign_body(i, inst_buf):
+            o = a_origins[i]
+            vtile = jax.lax.dynamic_slice(
+                vec_full, (o[0], o[1], o[2], 0), (*crop, 3)
+            ).astype(jnp.float32)
+            emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations)[0]
+            emb = emb + o.astype(jnp.float32)[None, None, None, :]
+            idx = jnp.round(emb).astype(jnp.int32)
+            ix = jnp.clip(idx[..., 0], 0, x - 1)
+            iy = jnp.clip(idx[..., 1], 0, y - 1)
+            iz = jnp.clip(idx[..., 2], 0, z - 1)
+            tile_inst = labels[ix, iy, iz]
+            # voxels whose vectors were gated to zero stay background
+            fg = jnp.any(vtile != 0, axis=-1)
+            tile_inst = jnp.where(fg, tile_inst, 0)
+            return jax.lax.dynamic_update_slice(inst_buf, tile_inst, (o[0], o[1], o[2]))
+
+        inst = jax.lax.fori_loop(0, a_origins.shape[0], assign_body, inst_buf)
+        return inst
 
     return pipeline
 
