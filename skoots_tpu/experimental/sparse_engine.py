@@ -1,0 +1,198 @@
+"""Sparse (weakly-supervised) training engine.
+
+Re-design of /root/reference/skoots/experimental/sparse_engine.py:56-565:
+same skeleton as the dense engine, but the loss re-bakes merged skeletons on
+the fly (sparse_loss), the "probability" head is supervised by the
+thresholded embedding probability, SWA parameter averaging runs after
+``swa_start``, and non-finite losses skip the update (NaN guard,
+sparse_engine.py:435-441) — here as a ``where`` on the whole update, inside
+jit.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from skoots_tpu.config import CfgNode
+from skoots_tpu.models import cfg_to_model, split_output
+from skoots_tpu.ops.vec2embed import vector_to_embedding
+from skoots_tpu.experimental.sparse_loss import sparse_loss
+from skoots_tpu.train.checkpoint import save_checkpoint
+from skoots_tpu.train.engine import TrainState, cfg_optimizer
+from skoots_tpu.train.losses import cfg_loss
+from skoots_tpu.train.sigma import init_sigma
+
+log = logging.getLogger(__name__)
+
+
+def make_sparse_augment(cfg: CfgNode, dataset_mean=0.0, dataset_std=1.0):
+    """Sparse variant of the augmentation: threads (image, background,
+    skeleton-mask, points) through the shared geometric core
+    (reference SparseTransformFromCfg, sparse_transforms.py:22-454)."""
+    from skoots_tpu.train.transforms import make_augment
+
+    dense = make_augment(cfg, dataset_mean, dataset_std)
+    core = dense.geometric_core
+
+    def augment(rng, sample):
+        image, background, skel_mask, pts, ids = core(rng, sample)
+        return {
+            "image": image[..., None],
+            "background": (background > 0).astype(jnp.float32)[..., None],
+            "skele_masks": (skel_mask > 0).astype(jnp.float32)[..., None],
+            "points": pts,
+            "valid": ids != 0,
+        }
+
+    @jax.jit
+    def batch_augment(rng, samples):
+        keys = jax.random.split(rng, samples["image"].shape[0])
+        return jax.vmap(augment)(keys, samples)
+
+    return batch_augment
+
+
+def make_sparse_train_step(model, optimizer, schedule, sigma, cfg: CfgNode):
+    vector_scale = jnp.asarray(cfg.SKOOTS.VECTOR_SCALING, jnp.float32)
+    loss_skele = cfg_loss(
+        cfg.TRAIN.LOSS_SKELETON, cfg.TRAIN.LOSS_SKELETON_KEYWORDS,
+        cfg.TRAIN.LOSS_SKELETON_VALUES,
+    )
+    anisotropy = tuple(cfg.AUGMENTATION.BAKE_SKELETON_ANISOTROPY)
+    thr = cfg.EXPERIMENTAL.DIST_THR
+    mult = cfg.EXPERIMENTAL.SPARSE_BACKGROUND_PENALTY_MULTIPLIER
+    w_e = cfg.TRAIN.LOSS_EMBED_RELATIVE_WEIGHT
+    w_p = cfg.TRAIN.LOSS_PROBABILITY_RELATIVE_WEIGHT
+    w_s = cfg.TRAIN.LOSS_SKELETON_RELATIVE_WEIGHT
+    e0_e = cfg.TRAIN.LOSS_EMBED_START_EPOCH
+    e0_p = cfg.TRAIN.LOSS_PROBABILITY_START_EPOCH
+    e0_s = cfg.TRAIN.LOSS_SKELETON_START_EPOCH
+
+    def loss_fn(params, batch, epoch):
+        out = model.apply(params, batch["image"], deterministic=True)
+        vec, skel, prob = split_output(out)
+        embedding = vector_to_embedding(vector_scale, vec)
+        l_bg, l_embed, _ = sparse_loss(
+            embed=embedding,
+            vectors=vec * vector_scale.reshape(1, 1, 1, 1, 3),
+            points=batch["points"],
+            valid=batch["valid"],
+            background=batch["background"],
+            semantic=prob,
+            sigma=sigma(epoch),
+            anisotropy=anisotropy,
+            distance_thr=thr,
+            bg_multiplier=mult,
+        )
+        l_skel = loss_skele(skel, (batch["skele_masks"] > 0).astype(jnp.float32))
+        g_e = (epoch > e0_e).astype(jnp.float32)
+        g_p = (epoch > e0_p).astype(jnp.float32)
+        g_s = (epoch > e0_s).astype(jnp.float32)
+        total = w_e * g_e * l_embed + w_p * g_p * l_bg + w_s * g_s * l_skel
+        return total, {"loss": total, "embed": l_embed, "prob": l_bg, "skele": l_skel}
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict, epoch: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, epoch
+        )
+        state.opt_state.hyperparams["learning_rate"] = schedule(epoch)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # NaN guard: skip the whole update when the loss is non-finite
+        ok = jnp.isfinite(metrics["loss"])
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        return TrainState(step=state.step + 1, params=params, opt_state=new_opt), metrics
+
+    return train_step
+
+
+def train_sparse(cfg: CfgNode, steps_per_epoch=None) -> TrainState:
+    from skoots_tpu.experimental.data import SparseDataset
+    from skoots_tpu.train.data import batch_iterator
+
+    datasets = [
+        SparseDataset(d, cfg, sample_per_image=s)
+        for d, s in zip(cfg.TRAIN.TRAIN_DATA_DIR, cfg.TRAIN.TRAIN_SAMPLE_PER_IMAGE)
+    ]
+    records = [r for d in datasets for r in d.records]
+    mean = float(np.mean([r.image.mean() for r in records]))
+    std = float(np.mean([r.image.std() for r in records])) or 1.0
+
+    class _Multi:
+        def __len__(self):
+            return sum(len(d) for d in datasets)
+
+        def sample(self, rng):
+            return datasets[rng.integers(len(datasets))].sample(rng)
+
+    dataset = _Multi()
+    bsz = cfg.TRAIN.TRAIN_BATCH_SIZE
+    steps = steps_per_epoch or max(1, len(dataset) // bsz)
+    host_iter = batch_iterator(dataset, bsz, steps, cfg.TRAIN.SEED)
+    augment = make_sparse_augment(cfg, mean, std)
+
+    rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
+    model = cfg_to_model(cfg)
+    crop = (cfg.AUGMENTATION.CROP_WIDTH, cfg.AUGMENTATION.CROP_HEIGHT,
+            cfg.AUGMENTATION.CROP_DEPTH)
+    params = model.init(
+        {"params": rng}, jnp.zeros((1, *crop, 1), jnp.float32), deterministic=True
+    )
+    optimizer, schedule = cfg_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=optimizer.init(params)
+    )
+    sigma = init_sigma(cfg)
+    step_fn = make_sparse_train_step(model, optimizer, schedule, sigma, cfg)
+
+    # SWA (sparse_engine.py:297-299, 448-449): running average after swa_start
+    epochs = cfg.TRAIN.NUM_EPOCHS
+    swa_start = int(epochs * 0.75)
+    swa_params, swa_n = None, 0
+
+    os.makedirs(cfg.TRAIN.SAVE_PATH, exist_ok=True)
+    save_name = os.path.join(
+        cfg.TRAIN.SAVE_PATH, time.strftime("%b%d_%H-%M-%S") + "_sparse.skoots"
+    )
+
+    for e in range(epochs):
+        t0 = time.time()
+        agg = {}
+        for host_batch in host_iter(e):
+            rng, sub = jax.random.split(rng)
+            batch = augment(sub, {k: jnp.asarray(v) for k, v in host_batch.items()})
+            state, metrics = step_fn(state, batch, jnp.asarray(e))
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+        log.info(
+            "sparse epoch %d: %s (%.2fs)", e,
+            {k: float(np.mean(v)) for k, v in agg.items()}, time.time() - t0,
+        )
+        if e >= swa_start:
+            if swa_params is None:
+                swa_params, swa_n = state.params, 1
+            else:
+                swa_n += 1
+                swa_params = jax.tree_util.tree_map(
+                    lambda avg, new: avg + (new - avg) / swa_n, swa_params, state.params
+                )
+        if (e + 1) % cfg.TRAIN.SAVE_INTERVAL == 0 or e == epochs - 1:
+            save_checkpoint(
+                save_name, cfg,
+                swa_params if swa_params is not None else state.params,
+                state.opt_state, dataset_mean=mean, dataset_std=std,
+                extra={"epoch": e, "swa": swa_params is not None},
+            )
+            log.info("checkpoint -> %s", save_name)
+    return state

@@ -102,9 +102,14 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
     grid_mag = jnp.asarray(A.ELASTIC_GRID_MAGNITUDE, jnp.float32)
     invert_rate = A.get("INVERT_RATE", A.BRIGHTNESS_RATE)
 
-    def augment(rng: jax.Array, sample: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    def geometric_core(rng, sample):
+        """Shared spatial+intensity pipeline. ``sample`` may carry an extra
+        nearest-interpolated volume under 'aux' (sparse training threads the
+        skeleton-mask volume through it, reference sparse_transforms.py:348-439).
+        Returns (image, masks, aux, pts, ids)."""
         image = sample["image"].astype(jnp.float32)
         masks = sample["masks"].astype(jnp.int32)
+        aux = sample.get("aux")
         pts = sample["points"].astype(jnp.float32)
         ids = sample["ids"].astype(jnp.int32)
         center = sample["center"].astype(jnp.float32)
@@ -125,6 +130,8 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
         )
         image = _warp_volume(image, disp_full, order=1)
         masks = _warp_volume(masks.astype(jnp.float32), disp_full, order=0).astype(jnp.int32)
+        if aux is not None:
+            aux = _warp_volume(aux.astype(jnp.float32), disp_full, order=0)
         pts = pts - _sample_disp_at_points(disp_coarse, pts, spatial)
 
         # ----------------------------------------------------------- affine
@@ -144,6 +151,10 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
         masks = map_coordinates(
             masks.astype(jnp.float32), coords, order=0, mode="nearest"
         ).reshape(spatial).astype(jnp.int32)
+        if aux is not None:
+            aux = map_coordinates(
+                aux, coords, order=0, mode="nearest"
+            ).reshape(spatial)
         pts_xy1 = jnp.stack([pts[:, 0], pts[:, 1], jnp.ones_like(pts[:, 0])], -1)
         pts_xy = jnp.einsum("ij,pj->pi", mat, pts_xy1)
         pts = jnp.stack([pts_xy[:, 0], pts_xy[:, 1], pts[:, 2]], -1)
@@ -156,6 +167,8 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
         ).astype(jnp.int32)
         image = jax.lax.dynamic_slice(image, origin, crop)
         masks = jax.lax.dynamic_slice(masks, origin, crop)
+        if aux is not None:
+            aux = jax.lax.dynamic_slice(aux, origin, crop)
         pts = pts - origin.astype(jnp.float32)
 
         # ------------------------------------------------------------ flips
@@ -163,6 +176,8 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
             f = _bernoulli(keys[6 + ax], A.FLIP_RATE)
             image = jnp.where(f, jnp.flip(image, ax), image)
             masks = jnp.where(f, jnp.flip(masks, ax), masks)
+            if aux is not None:
+                aux = jnp.where(f, jnp.flip(aux, ax), aux)
             pts = pts.at[:, ax].set(
                 jnp.where(f, (crop[ax] - 1) - pts[:, ax], pts[:, ax])
             )
@@ -190,12 +205,13 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
         image = image + noise * jnp.where(f_n, 1.0, 0.0)
 
         image = (image - dataset_mean) / dataset_std
+        return image, masks, aux, pts, ids
 
-        # -------------------------------------------- training targets
+    def augment(rng: jax.Array, sample: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        image, masks, _, pts, ids = geometric_core(rng, sample)
         skel = PackedSkeletons(points=pts, ids=ids)
         baked = bake_skeleton(masks, skel, anisotropy=anisotropy, average=True)
         skele_mask = skeleton_to_mask(skel, crop, radius=radius, flank_radius=flank)
-
         return {
             "image": image[..., None],
             "masks": (masks > 0).astype(jnp.float32)[..., None],
@@ -203,6 +219,7 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
             "skele_masks": skele_mask[..., None],
         }
 
+    augment.geometric_core = geometric_core
     return augment
 
 
