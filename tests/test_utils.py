@@ -1,0 +1,90 @@
+"""Accessory utility tests: 2D stitch mode, renumber, margins, viz, convert."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from skoots_tpu.utils.flood_and_stitch import watershed_and_stitch
+from skoots_tpu.utils.io import imread, imsave
+from skoots_tpu.utils.remove_margin import remove_margin
+from skoots_tpu.utils.renumber import load_renumber_save
+
+
+class TestWatershedAndStitch:
+    def test_matches_3d_components_for_columns(self):
+        # vertical columns: per-slice labels must stitch into single objects
+        x = np.zeros((32, 32, 6), np.uint8)
+        x[4:10, 4:10, :] = 1
+        x[20:28, 20:26, :] = 1
+        out = watershed_and_stitch(x, dim=2)
+        assert len(np.unique(out)) - 1 == 2
+        assert len(np.unique(out[4:10, 4:10, :])) == 1
+
+    def test_diagonal_only_in_slice_split(self):
+        # two blobs that never overlap across slices stay separate
+        x = np.zeros((16, 16, 2), np.uint8)
+        x[2:5, 2:5, 0] = 1
+        x[10:13, 10:13, 1] = 1
+        out = watershed_and_stitch(x, dim=2)
+        assert len(np.unique(out)) - 1 == 2
+
+    def test_majority_overlap_merges(self, rng):
+        x = (rng.random((24, 24, 8)) > 0.6).astype(np.uint8)
+        out = watershed_and_stitch(x, dim=2)
+        # stitched labels must be a coarsening of per-slice 2D labels and
+        # consistent: every output id maps from >=1 slice component
+        assert out[x == 0].sum() == 0
+        assert (out[x > 0] > 0).all()
+
+    def test_single_slice(self):
+        x = np.zeros((8, 8, 1), np.uint8)
+        x[1:3, 1:3, 0] = 1
+        out = watershed_and_stitch(x, dim=2)
+        assert len(np.unique(out)) - 1 == 1
+
+
+class TestFileUtils:
+    def test_renumber_file(self, tmp_path):
+        m = np.zeros((16, 16, 4), np.int32)
+        m[2:4, 2:4] = 17
+        m[8:10, 8:10] = 90
+        p = str(tmp_path / "m.tif")
+        imsave(p, m)
+        load_renumber_save(p)
+        out = imread(p)
+        assert set(np.unique(out)) == {0, 1, 2}
+
+    def test_remove_margin(self, tmp_path):
+        v = np.arange(20 * 20 * 8, dtype=np.int32).reshape(20, 20, 8)
+        p = str(tmp_path / "v.tif")
+        imsave(p, v)
+        dest = remove_margin(p, margin=(5, 5, 2))
+        out = imread(dest)
+        np.testing.assert_array_equal(out, v[5:-5, 5:-5, 2:-2])
+
+    def test_remove_margin_too_large(self, tmp_path):
+        v = np.zeros((8, 8, 4), np.int32)
+        p = str(tmp_path / "v.tif")
+        imsave(p, v)
+        with pytest.raises(AssertionError, match="margin"):
+            remove_margin(p, margin=(5, 5, 2))
+
+
+class TestViz:
+    def test_write_progress_panels(self):
+        from skoots_tpu.train.viz import flow_to_image, write_progress
+
+        b, x, y, z = 1, 16, 16, 8
+        rng = np.random.default_rng(0)
+        grid = write_progress(
+            None, "t", 0,
+            images=rng.random((b, x, y, z, 1)),
+            masks=(rng.random((b, x, y, z, 1)) > 0.5).astype(np.float32),
+            vector=rng.random((b, x, y, z, 3)) * 2 - 1,
+            embed_prob=rng.random((b, x, y, z, 1)),
+            predicted_skeleton=rng.random((b, x, y, z, 1)),
+            gt_skeleton=(rng.random((b, x, y, z, 1)) > 0.8).astype(np.float32),
+        )
+        assert grid.shape == (x * 7, y, 3)
+        f = flow_to_image(rng.random((8, 8, 2)).astype(np.float32))
+        assert f.shape == (8, 8, 3) and f.dtype == np.uint8
