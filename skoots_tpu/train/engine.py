@@ -261,12 +261,26 @@ def train(
         cfg.TRAIN.SAVE_PATH, time.strftime("%b%d_%H-%M-%S") + ".skoots"
     )
 
+    vector_scale = jnp.asarray(cfg.SKOOTS.VECTOR_SCALING, jnp.float32)
+
+    @jax.jit
+    def _panel_forward(params, image, baked, epoch):
+        out = model.apply(params, image, deterministic=True)
+        from skoots_tpu.models import split_output
+
+        vec, skel, _ = split_output(out)
+        emb = vector_to_embedding(vector_scale, vec)
+        prob = baked_embed_to_prob(emb, baked, sigma(epoch))
+        return vec, skel, prob
+
     epochs = cfg.TRAIN.NUM_EPOCHS
     for e in range(epochs):
         t0 = time.time()
         agg: Dict[str, list] = {}
+        last_batch = None
         for batch in data_iter(e):
             rng, sub = jax.random.split(rng)
+            last_batch = batch
             state, metrics = train_step(state, batch, jnp.asarray(e), sub)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)
@@ -275,6 +289,24 @@ def train(
         if writer is not None:
             for k, v in means.items():
                 writer.add_scalar(f"Loss/{k}" if k != "lr" else "lr", v, e)
+            if last_batch is not None:
+                # mid-slice image panels (reference write_progress,
+                # train/utils.py:142-211)
+                from skoots_tpu.train.viz import write_progress
+
+                vec, skel, prob = _panel_forward(
+                    state.params, last_batch["image"], last_batch["baked"],
+                    jnp.asarray(e),
+                )
+                write_progress(
+                    writer, "Train", e,
+                    images=np.asarray(last_batch["image"]),
+                    masks=np.asarray(last_batch["masks"]),
+                    vector=np.asarray(vec),
+                    embed_prob=np.asarray(prob),
+                    predicted_skeleton=np.asarray(skel),
+                    gt_skeleton=np.asarray(last_batch["skele_masks"]),
+                )
 
         if val_iter and eval_step and e % cfg.TRAIN.VALIDATE_EPOCH_SKIP == 0:
             vagg: Dict[str, list] = {}
