@@ -55,8 +55,13 @@ def _pad_amounts(dim: int, crop: int, ov: int) -> Tuple[int, int]:
     return lo, hi
 
 
-def _make_tile_fn(model, params, mean, std, prob_thr: float):
-    """Phase-1 jitted tile step: [B, X, Y, Z, 1] f32 -> (vec, skel) interiors."""
+def _make_tile_fn(model, params, mean, std, prob_thr: float,
+                  dilation_3d: int = 1, dilation_2d: int = 2):
+    """Phase-1 jitted tile step: [B, X, Y, Z, 1] f32 -> (vec, skel) interiors.
+
+    Default dilation stack = reference eval.py:152-157 (one 3D + two 2D);
+    the experimental variant uses prob_thr 0.5 and three 2D dilations
+    (reference experimental/eval.py:138-146)."""
 
     @jax.jit
     def tile_fn(image_tiles: jax.Array):
@@ -68,20 +73,21 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float):
         keep = (prob > prob_thr).astype(out.dtype)
         vec = vec * keep
         skel = skel * keep
-        # reference eval.py:152-157: one 3D dilation + two 2D dilations
-        skel = binary_dilation(skel)
-        skel = binary_dilation_2d(binary_dilation_2d(skel))
+        for _ in range(dilation_3d):
+            skel = binary_dilation(skel)
+        for _ in range(dilation_2d):
+            skel = binary_dilation_2d(skel)
         return vec.astype(jnp.float16), (skel > prob_thr).astype(jnp.uint8)
 
     return tile_fn
 
 
-def _make_assign_fn(scale: Sequence[float], n_iter: int):
+def _make_assign_fn(scale: Sequence[float], n_iter: int, decay: float = 1.0):
     """Phase-3 jitted step: labeled skeleton stays on device; returns ids."""
 
     @jax.jit
     def assign_fn(skeleton_dev: jax.Array, vec_tiles: jax.Array, offsets: jax.Array):
-        emb = vector_to_embedding(jnp.asarray(scale), vec_tiles, n=n_iter)
+        emb = vector_to_embedding(jnp.asarray(scale), vec_tiles, n=n_iter, decay=decay)
         emb = emb + offsets[:, None, None, None, :].astype(emb.dtype)
         sx, sy, sz = skeleton_dev.shape
         idx = jnp.round(emb).astype(jnp.int32)
@@ -174,6 +180,9 @@ def run_inference(
     assign_overlap: Tuple[int, int, int] = (50, 50, 5),
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
+    embed_decay: float = 1.0,
+    dilation_3d: int = 1,
+    dilation_2d: int = 2,
     batch: int = 1,
     output_path: Optional[str] = None,
 ) -> np.ndarray:
@@ -226,7 +235,9 @@ def run_inference(
     else:
         vectors = np.zeros((x, y, z, 3), np.float16)
         skeleton_u8 = np.zeros((x, y, z), np.uint8)
-        tile_fn = _make_tile_fn(model, params, mean, std, prob_threshold)
+        tile_fn = _make_tile_fn(
+            model, params, mean, std, prob_threshold, dilation_3d, dilation_2d
+        )
         bench_start = time.time()
         _sweep(
             volume[..., None].astype(np.float32),
@@ -252,7 +263,7 @@ def run_inference(
     a_ov = tuple(min(o, c // 4) for o, c in zip(assign_overlap, a_crop))
 
     skeleton_dev = jnp.asarray(labeled)
-    assign = _make_assign_fn(vec_scale, embed_iterations)
+    assign = _make_assign_fn(vec_scale, embed_iterations, embed_decay)
 
     pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
     padded_vec = np.pad(
