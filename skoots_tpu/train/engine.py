@@ -229,6 +229,17 @@ def train(
     engine is deliberately I/O-agnostic: the dataset/transform pipeline in
     skoots_tpu.train.data builds such iterators.
     """
+    # observability knobs (reference engine.py:253-256): the autograd
+    # profiler maps to a jax.profiler trace, detect_anomaly to debug_nans
+    if cfg.TRAIN.AUTOGRAD_DETECT_ANOMALY:
+        jax.config.update("jax_debug_nans", True)
+    profile_dir = None
+    if cfg.TRAIN.AUTOGRAD_PROFILE:
+        profile_dir = os.path.join(cfg.TRAIN.SAVE_PATH, "jax_trace")
+        os.makedirs(profile_dir, exist_ok=True)
+        jax.profiler.start_trace(profile_dir)
+        log.info("jax profiler trace -> %s", profile_dir)
+
     rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
     model = cfg_to_model(cfg)
     params = model.init(
@@ -328,4 +339,7 @@ def train(
             )
             log.info("checkpoint -> %s", save_name)
 
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", profile_dir)
     return state
