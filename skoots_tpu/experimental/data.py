@@ -46,6 +46,19 @@ class SparseDataset:
                 base = f[: -len(".background.tif")]
                 image = imread(base + ".tif").astype(np.float32)
                 background = (imread(f) > 0).astype(np.float32)
+                # ablation-study knobs (reference sparse_engine.py:164-181)
+                if cfg.EXPERIMENTAL.BACKGROUND_N_ERODE:
+                    from skoots_tpu.experimental.modifiers import erode_bg_masks
+
+                    background = erode_bg_masks(
+                        background, cfg.EXPERIMENTAL.BACKGROUND_N_ERODE
+                    )
+                if cfg.EXPERIMENTAL.BACKGROUND_SLICE_PERCENTAGE < 1.0:
+                    from skoots_tpu.experimental.modifiers import ablate_bg_masks
+
+                    background = ablate_bg_masks(
+                        background, cfg.EXPERIMENTAL.BACKGROUND_SLICE_PERCENTAGE
+                    )
                 sk_path = base + ".skeleton_mask.tif"
                 skel_mask = (
                     (imread(sk_path) > 0).astype(np.float32)

@@ -117,3 +117,24 @@ class TestSparseTrainE2E:
         assert rc == 0
         ckpts = glob.glob(os.path.join(str(save_dir), "*_sparse.skoots"))
         assert len(ckpts) == 1
+
+
+class TestModifiers:
+    def test_erode(self):
+        from skoots_tpu.experimental.modifiers import erode_bg_masks
+
+        bg = np.zeros((10, 10, 10), np.uint8)
+        bg[2:8, 2:8, 2:8] = 1
+        out = erode_bg_masks(bg, 1)
+        assert out.sum() < bg.sum()
+        assert out[4, 4, 4] == 1 and out[2, 2, 2] == 0
+        np.testing.assert_array_equal(erode_bg_masks(bg, 0), bg)
+
+    def test_ablate(self):
+        from skoots_tpu.experimental.modifiers import ablate_bg_masks
+
+        bg = np.ones((4, 4, 10), np.uint8)
+        out = ablate_bg_masks(bg, 0.5)
+        assert out[..., :5].all() and not out[..., 5:].any()
+        with pytest.raises(AssertionError):
+            ablate_bg_masks(bg, 0.0)
