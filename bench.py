@@ -94,8 +94,10 @@ def main() -> int:
         int(v) for v in os.environ.get("BENCH_SHAPE", "512,512,512").split(",")
     )
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    crop = tuple(int(v) for v in os.environ.get("BENCH_CROP", "256,256,64").split(","))
+    ov = tuple(int(v) for v in os.environ.get("BENCH_OVERLAP", "16,16,8").split(","))
     attempts = [
-        (shape, (256, 256, 64), (16, 16, 8)),
+        (shape, crop, ov),
         ((256, 256, 256), (128, 128, 64), (16, 16, 8)),
         ((128, 128, 32), (64, 64, 16), (8, 8, 2)),
     ]
