@@ -35,7 +35,7 @@ def _run(shape, crop, overlap, repeats) -> dict:
     import jax.numpy as jnp
 
     from skoots_tpu.config import get_cfg_defaults
-    from skoots_tpu.infer.device_pipeline import make_device_pipeline
+    from skoots_tpu.infer.device_pipeline import segment_volume_chunked
     from skoots_tpu.models import cfg_to_model
 
     cfg = get_cfg_defaults()
@@ -48,15 +48,6 @@ def _run(shape, crop, overlap, repeats) -> dict:
         lambda k: model.init({"params": k}, dummy, deterministic=True)
     )(jax.random.PRNGKey(0))
 
-    pipe = make_device_pipeline(
-        model,
-        shape,
-        crop=crop,
-        overlap=overlap,
-        embed_iterations=10,
-        cc_rounds=24,
-    )
-
     # synthesize the volume ON DEVICE: no bulk host->device transfer
     volume = jax.jit(
         lambda k: jax.random.uniform(k, shape, jnp.float32, 0.0, 255.0)
@@ -65,7 +56,15 @@ def _run(shape, crop, overlap, repeats) -> dict:
     mean, std = jnp.float32(128.0), jnp.float32(64.0)
 
     def once():
-        out = pipe(params, volume, mean, std)
+        # chunked orchestration keeps every dispatch short (some execution
+        # environments bound single-program wall time) with all buffers
+        # resident in HBM between dispatches
+        out = segment_volume_chunked(
+            model, params, volume, mean, std,
+            crop=crop, overlap=overlap,
+            embed_iterations=10, cc_rounds=24,
+            tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "8")),
+        )
         # scalar fetch forces completion of the full on-device chain
         return int(jnp.max(out)), out
 
@@ -125,6 +124,9 @@ def main() -> int:
         except Exception as e:  # try a smaller envelope before giving up
             err = e
             print(f"# bench attempt {shp} failed: {e!r}", file=sys.stderr)
+            if "crashed or restarted" in str(e):
+                print("# waiting for TPU worker restart...", file=sys.stderr)
+                time.sleep(300)
     print(json.dumps({"metric": "e2e_seg_throughput", "value": 0, "unit": "vox/s",
                       "vs_baseline": 0, "error": repr(err)}))
     return 1

@@ -157,3 +157,130 @@ def make_device_pipeline(
 
 def _round4(d: int) -> int:
     return max(4, (d // 4) * 4)
+
+
+def segment_volume_chunked(
+    model,
+    params,
+    volume: jax.Array,
+    mean,
+    std,
+    crop: Tuple[int, int, int] = (256, 256, 64),
+    overlap: Tuple[int, int, int] = (16, 16, 8),
+    vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
+    prob_threshold: float = 0.8,
+    embed_iterations: int = 10,
+    cc_rounds: int = 32,
+    tiles_per_dispatch: int = 16,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Whole-volume on-device segmentation split into several dispatches.
+
+    Identical math to :func:`make_device_pipeline`, but the tile sweeps are
+    chunked into separate jit calls with HBM-resident (donated) buffers —
+    for very large volumes where one program would run for minutes (some
+    execution environments bound single-program wall time), and so partial
+    progress overlaps host-side orchestration.
+    """
+    x, y, z = volume.shape
+    crop = tuple(min(c, _round4(d)) for c, d in zip(crop, volume.shape))
+    ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
+    pads = [(o, max(o, c - (d + o))) for d, c, o in zip(volume.shape, crop, ov)]
+    px, py, pz = (d + p[0] + p[1] for d, p in zip((x, y, z), pads))
+    origins = np.asarray(crop_origins((px, py, pz), crop, ov), np.int32)
+    cx, cy, cz = crop
+    ox, oy, oz = ov
+    interior = (
+        slice(ox, cx - ox) if ox else slice(0, cx),
+        slice(oy, cy - oy) if oy else slice(0, cy),
+        slice(oz, cz - oz) if oz else slice(0, cz),
+    )
+
+    @jax.jit
+    def prep(volume, mean, std):
+        vol = (volume.astype(jnp.float32) - mean) / std
+        return jnp.pad(vol, pads, mode="reflect")
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def phase1_chunk(params, vol, vec_buf, skel_buf, chunk_origins):
+        def tile_body(i, carry):
+            vec_buf, skel_buf = carry
+            o = chunk_origins[i]
+            tile = jax.lax.dynamic_slice(vol, (o[0], o[1], o[2]), crop)
+            out = model.apply(params, tile[None, ..., None], deterministic=True)[0]
+            vec = out[..., 0:3]
+            skel = out[..., 3:4]
+            prob = out[..., 4:5]
+            keep = (prob > prob_threshold).astype(out.dtype)
+            vec = vec * keep
+            s5 = binary_dilation((skel * keep)[None])
+            s5 = binary_dilation_2d(binary_dilation_2d(s5))
+            skel_bin = (s5[0, ..., 0] > prob_threshold).astype(jnp.uint8)
+            vec_buf = jax.lax.dynamic_update_slice(
+                vec_buf, vec[interior].astype(dtype), (o[0] + ox, o[1] + oy, o[2] + oz, 0)
+            )
+            skel_buf = jax.lax.dynamic_update_slice(
+                skel_buf, skel_bin[interior], (o[0] + ox, o[1] + oy, o[2] + oz)
+            )
+            return vec_buf, skel_buf
+
+        return jax.lax.fori_loop(
+            0, chunk_origins.shape[0], tile_body, (vec_buf, skel_buf)
+        )
+
+    @jax.jit
+    def trim_and_label(vec_buf, skel_buf):
+        vec_full = jax.lax.dynamic_slice(
+            vec_buf, (pads[0][0], pads[1][0], pads[2][0], 0), (x, y, z, 3)
+        )
+        skel_full = jax.lax.dynamic_slice(
+            skel_buf, (pads[0][0], pads[1][0], pads[2][0]), (x, y, z)
+        )
+        return vec_full, label_components(skel_full, max_rounds=cc_rounds)
+
+    a_origins = np.asarray(crop_origins((x, y, z), crop, (0, 0, 0)), np.int32)
+    scale_arr = jnp.asarray(vector_scale, jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def assign_chunk(labels, vec_full, inst, chunk_origins):
+        def body(i, inst):
+            o = chunk_origins[i]
+            vtile = jax.lax.dynamic_slice(
+                vec_full, (o[0], o[1], o[2], 0), (*crop, 3)
+            ).astype(jnp.float32)
+            emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations)[0]
+            emb = emb + o.astype(jnp.float32)[None, None, None, :]
+            idx = jnp.round(emb).astype(jnp.int32)
+            ix = jnp.clip(idx[..., 0], 0, x - 1)
+            iy = jnp.clip(idx[..., 1], 0, y - 1)
+            iz = jnp.clip(idx[..., 2], 0, z - 1)
+            tile_inst = jnp.where(
+                jnp.any(vtile != 0, axis=-1), labels[ix, iy, iz], 0
+            )
+            return jax.lax.dynamic_update_slice(inst, tile_inst, (o[0], o[1], o[2]))
+
+        return jax.lax.fori_loop(0, chunk_origins.shape[0], body, inst)
+
+    # ------------------------------------------------------------ orchestrate
+    vol = prep(volume, mean, std)
+    vec_buf = jnp.zeros((px, py, pz, 3), dtype)
+    skel_buf = jnp.zeros((px, py, pz), jnp.uint8)
+    g = tiles_per_dispatch
+    for s in range(0, len(origins), g):
+        chunk = origins[s : s + g]
+        if len(chunk) < g:  # pad by repeating (idempotent writes)
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], g - len(chunk), 0)])
+        vec_buf, skel_buf = phase1_chunk(
+            params, vol, vec_buf, skel_buf, jnp.asarray(chunk)
+        )
+    del vol
+    vec_full, labels = trim_and_label(vec_buf, skel_buf)
+    del vec_buf, skel_buf
+
+    inst = jnp.zeros((x, y, z), jnp.int32)
+    for s in range(0, len(a_origins), g):
+        chunk = a_origins[s : s + g]
+        if len(chunk) < g:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], g - len(chunk), 0)])
+        inst = assign_chunk(labels, vec_full, inst, jnp.asarray(chunk))
+    return inst
