@@ -35,7 +35,7 @@ def _run(shape, crop, overlap, repeats) -> dict:
     import jax.numpy as jnp
 
     from skoots_tpu.config import get_cfg_defaults
-    from skoots_tpu.infer.device_pipeline import segment_volume_chunked
+    from skoots_tpu.infer.device_pipeline import make_chunked_pipeline
     from skoots_tpu.models import cfg_to_model
 
     cfg = get_cfg_defaults()
@@ -55,16 +55,17 @@ def _run(shape, crop, overlap, repeats) -> dict:
 
     mean, std = jnp.float32(128.0), jnp.float32(64.0)
 
+    # chunked orchestration keeps every dispatch short (some execution
+    # environments bound single-program wall time) with all buffers
+    # resident in HBM between dispatches
+    run = make_chunked_pipeline(
+        model, shape, crop=crop, overlap=overlap,
+        embed_iterations=10, cc_rounds=24,
+        tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "8")),
+    )
+
     def once():
-        # chunked orchestration keeps every dispatch short (some execution
-        # environments bound single-program wall time) with all buffers
-        # resident in HBM between dispatches
-        out = segment_volume_chunked(
-            model, params, volume, mean, std,
-            crop=crop, overlap=overlap,
-            embed_iterations=10, cc_rounds=24,
-            tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "8")),
-        )
+        out = run(params, volume, mean, std)
         # scalar fetch forces completion of the full on-device chain
         return int(jnp.max(out)), out
 

@@ -159,12 +159,9 @@ def _round4(d: int) -> int:
     return max(4, (d // 4) * 4)
 
 
-def segment_volume_chunked(
+def make_chunked_pipeline(
     model,
-    params,
-    volume: jax.Array,
-    mean,
-    std,
+    volume_shape: Tuple[int, int, int],
     crop: Tuple[int, int, int] = (256, 256, 64),
     overlap: Tuple[int, int, int] = (16, 16, 8),
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
@@ -173,7 +170,7 @@ def segment_volume_chunked(
     cc_rounds: int = 32,
     tiles_per_dispatch: int = 16,
     dtype=jnp.bfloat16,
-) -> jax.Array:
+):
     """Whole-volume on-device segmentation split into several dispatches.
 
     Identical math to :func:`make_device_pipeline`, but the tile sweeps are
@@ -181,11 +178,14 @@ def segment_volume_chunked(
     for very large volumes where one program would run for minutes (some
     execution environments bound single-program wall time), and so partial
     progress overlaps host-side orchestration.
+
+    Returns ``run(params, volume, mean, std) -> labels``; the jitted stages
+    are built once and cached across calls.
     """
-    x, y, z = volume.shape
-    crop = tuple(min(c, _round4(d)) for c, d in zip(crop, volume.shape))
+    x, y, z = volume_shape
+    crop = tuple(min(c, _round4(d)) for c, d in zip(crop, volume_shape))
     ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
-    pads = [(o, max(o, c - (d + o))) for d, c, o in zip(volume.shape, crop, ov)]
+    pads = [(o, max(o, c - (d + o))) for d, c, o in zip(volume_shape, crop, ov)]
     px, py, pz = (d + p[0] + p[1] for d, p in zip((x, y, z), pads))
     origins = np.asarray(crop_origins((px, py, pz), crop, ov), np.int32)
     cx, cy, cz = crop
@@ -261,26 +261,38 @@ def segment_volume_chunked(
 
         return jax.lax.fori_loop(0, chunk_origins.shape[0], body, inst)
 
-    # ------------------------------------------------------------ orchestrate
-    vol = prep(volume, mean, std)
-    vec_buf = jnp.zeros((px, py, pz, 3), dtype)
-    skel_buf = jnp.zeros((px, py, pz), jnp.uint8)
-    g = tiles_per_dispatch
-    for s in range(0, len(origins), g):
-        chunk = origins[s : s + g]
-        if len(chunk) < g:  # pad by repeating (idempotent writes)
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], g - len(chunk), 0)])
-        vec_buf, skel_buf = phase1_chunk(
-            params, vol, vec_buf, skel_buf, jnp.asarray(chunk)
-        )
-    del vol
-    vec_full, labels = trim_and_label(vec_buf, skel_buf)
-    del vec_buf, skel_buf
+    def run(params, volume, mean, std):
+        vol = prep(volume, mean, std)
+        vec_buf = jnp.zeros((px, py, pz, 3), dtype)
+        skel_buf = jnp.zeros((px, py, pz), jnp.uint8)
+        g = tiles_per_dispatch
+        for s in range(0, len(origins), g):
+            chunk = origins[s : s + g]
+            if len(chunk) < g:  # pad by repeating (idempotent writes)
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], g - len(chunk), 0)]
+                )
+            vec_buf, skel_buf = phase1_chunk(
+                params, vol, vec_buf, skel_buf, jnp.asarray(chunk)
+            )
+        del vol
+        vec_full, labels = trim_and_label(vec_buf, skel_buf)
+        del vec_buf, skel_buf
 
-    inst = jnp.zeros((x, y, z), jnp.int32)
-    for s in range(0, len(a_origins), g):
-        chunk = a_origins[s : s + g]
-        if len(chunk) < g:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], g - len(chunk), 0)])
-        inst = assign_chunk(labels, vec_full, inst, jnp.asarray(chunk))
-    return inst
+        inst = jnp.zeros((x, y, z), jnp.int32)
+        for s in range(0, len(a_origins), g):
+            chunk = a_origins[s : s + g]
+            if len(chunk) < g:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], g - len(chunk), 0)]
+                )
+            inst = assign_chunk(labels, vec_full, inst, jnp.asarray(chunk))
+        return inst
+
+    return run
+
+
+def segment_volume_chunked(model, params, volume, mean, std, **kwargs):
+    """One-shot convenience wrapper around :func:`make_chunked_pipeline`."""
+    run = make_chunked_pipeline(model, volume.shape, **kwargs)
+    return run(params, volume, mean, std)
