@@ -141,12 +141,13 @@ def _fit(dim: int, want: int) -> int:
 # VPU work), so every in-kernel slice lands on unconstrained leading dims.
 
 
-def _dw_packed_kernel(x_hbm, w_ref, b_ref, o_ref, slab, sem, *, bx, by, k, zp, lanes):
+def _dw_packed_kernel(x_hbm, w_ref, b_ref, o_ref, slab, sem, *, bx, by, k, zp,
+                      lanes, acc_dtype=jnp.float32):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ox = pl.multiple_of(i * bx, 8)
     oy = pl.multiple_of(j * by, 8)
-    acc = jnp.zeros((bx, by, zp, lanes), jnp.float32)
+    acc = jnp.zeros((bx, by, zp, lanes), acc_dtype)
 
     for dz in range(k):  # static unroll: DMA one z-shifted copy at a time
         cp = pltpu.make_async_copy(
@@ -168,19 +169,21 @@ def _dw_packed_kernel(x_hbm, w_ref, b_ref, o_ref, slab, sem, *, bx, by, k, zp, l
             for dy in range(k):
                 w = w_ref[dx, dy, dz]  # [lanes]
                 sub = slab[dx : dx + bx, dy : dy + by]
-                acc = acc + sub.astype(jnp.float32) * w.astype(jnp.float32)
+                acc = acc + sub.astype(acc_dtype) * w.astype(acc_dtype)
 
-    o_ref[...] = (acc + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[...] = (acc + b_ref[...].astype(acc.dtype)).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("bx", "by", "k", "interpret"))
-def _dw_packed_call(x_shifted, wpacked, bpacked, bx, by, k, interpret=False):
+@partial(jax.jit, static_argnames=("bx", "by", "k", "interpret", "bf16_acc"))
+def _dw_packed_call(x_shifted, wpacked, bpacked, bx, by, k, interpret=False,
+                    bf16_acc=False):
     _, xs_p, ys_p, zp, lanes = x_shifted.shape
     xs = xs_p - (k - 1)
     ys = ys_p - (k - 1)
     grid = (xs // bx, ys // by)
     return pl.pallas_call(
-        partial(_dw_packed_kernel, bx=bx, by=by, k=k, zp=zp, lanes=lanes),
+        partial(_dw_packed_kernel, bx=bx, by=by, k=k, zp=zp, lanes=lanes,
+                acc_dtype=jnp.bfloat16 if bf16_acc else jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -205,6 +208,7 @@ def dwconv3d_pallas_packed(
     bias: jax.Array | None = None,
     block: tuple[int, int] = (16, 16),
     interpret: bool = False,
+    bf16_acc: bool = False,
 ) -> jax.Array:
     """Packed-lane depthwise 3D conv, SAME padding. Requirements:
     128 % C == 0 and Z % (128 // C) == 0 (else use :func:`dwconv3d_pallas`).
@@ -244,7 +248,8 @@ def dwconv3d_pallas_packed(
                 for dz in range(k)
             ]
         )  # [k, X+k-1, Y+k-1, zp8, 128]
-        out = _dw_packed_call(shifted, wpacked, bpacked, bx, by, k, interpret=interpret)
+        out = _dw_packed_call(shifted, wpacked, bpacked, bx, by, k,
+                              interpret=interpret, bf16_acc=bf16_acc)
         return out[:, :, :zp].reshape(xs, ys, zs, c)
 
     out = jax.vmap(one)(x)
