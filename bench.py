@@ -60,8 +60,9 @@ def _run(shape, crop, overlap, repeats) -> dict:
     # resident in HBM between dispatches
     run = make_chunked_pipeline(
         model, shape, crop=crop, overlap=overlap,
+        assign_crop=(256, 256, 64),
         embed_iterations=10, cc_rounds=24,
-        tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "8")),
+        tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "16")),
     )
 
     def once():
@@ -94,12 +95,12 @@ def main() -> int:
         int(v) for v in os.environ.get("BENCH_SHAPE", "512,512,512").split(",")
     )
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    crop = tuple(int(v) for v in os.environ.get("BENCH_CROP", "256,256,64").split(","))
+    crop = tuple(int(v) for v in os.environ.get("BENCH_CROP", "128,128,64").split(","))
     ov = tuple(int(v) for v in os.environ.get("BENCH_OVERLAP", "16,16,8").split(","))
     attempts = [
         (shape, crop, ov),
+        ((384, 384, 384), (128, 128, 64), (16, 16, 8)),
         ((256, 256, 256), (128, 128, 64), (16, 16, 8)),
-        ((128, 128, 32), (64, 64, 16), (8, 8, 2)),
     ]
     err = None
     for shp, crop, ov in attempts:

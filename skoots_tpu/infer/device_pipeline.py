@@ -162,8 +162,9 @@ def _round4(d: int) -> int:
 def make_chunked_pipeline(
     model,
     volume_shape: Tuple[int, int, int],
-    crop: Tuple[int, int, int] = (256, 256, 64),
+    crop: Tuple[int, int, int] = (128, 128, 64),
     overlap: Tuple[int, int, int] = (16, 16, 8),
+    assign_crop: Tuple[int, int, int] | None = (256, 256, 64),
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
@@ -238,7 +239,13 @@ def make_chunked_pipeline(
         )
         return vec_full, label_components(skel_full, max_rounds=cc_rounds)
 
-    a_origins = np.asarray(crop_origins((x, y, z), crop, (0, 0, 0)), np.int32)
+    # phase-3 tiles can be much larger than forward tiles: the embedding walk
+    # has no multi-hundred-channel activations, only [tile, 3] f32 temps
+    a_crop = tuple(
+        min(c, _round4(d))
+        for c, d in zip(assign_crop or crop, volume_shape)
+    )
+    a_origins = np.asarray(crop_origins((x, y, z), a_crop, (0, 0, 0)), np.int32)
     scale_arr = jnp.asarray(vector_scale, jnp.float32)
 
     @partial(jax.jit, donate_argnums=(2,))
@@ -246,7 +253,7 @@ def make_chunked_pipeline(
         def body(i, inst):
             o = chunk_origins[i]
             vtile = jax.lax.dynamic_slice(
-                vec_full, (o[0], o[1], o[2], 0), (*crop, 3)
+                vec_full, (o[0], o[1], o[2], 0), (*a_crop, 3)
             ).astype(jnp.float32)
             emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
