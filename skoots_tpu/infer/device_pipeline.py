@@ -229,15 +229,22 @@ def make_chunked_pipeline(
             0, chunk_origins.shape[0], tile_body, (vec_buf, skel_buf)
         )
 
-    @jax.jit
-    def trim_and_label(vec_buf, skel_buf):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def trim(vec_buf, skel_buf):
         vec_full = jax.lax.dynamic_slice(
             vec_buf, (pads[0][0], pads[1][0], pads[2][0], 0), (x, y, z, 3)
         )
         skel_full = jax.lax.dynamic_slice(
             skel_buf, (pads[0][0], pads[1][0], pads[2][0]), (x, y, z)
         )
-        return vec_full, label_components(skel_full, max_rounds=cc_rounds)
+        return vec_full, skel_full
+
+    # CC rounds are themselves chunked across dispatches (big volumes with
+    # long label-propagation chains would otherwise run one program for
+    # minutes)
+    from skoots_tpu.ops.flood_fill import make_label_components_stepped
+
+    stepped_cc = make_label_components_stepped((x, y, z), rounds_per_dispatch=4)
 
     # phase-3 tiles can be much larger than forward tiles: the embedding walk
     # has no multi-hundred-channel activations, only [tile, 3] f32 temps
@@ -283,8 +290,10 @@ def make_chunked_pipeline(
                 params, vol, vec_buf, skel_buf, jnp.asarray(chunk)
             )
         del vol
-        vec_full, labels = trim_and_label(vec_buf, skel_buf)
+        vec_full, skel_full = trim(vec_buf, skel_buf)
         del vec_buf, skel_buf
+        labels = stepped_cc(skel_full, max_rounds=cc_rounds)
+        del skel_full
 
         inst = jnp.zeros((x, y, z), jnp.int32)
         for s in range(0, len(a_origins), g):

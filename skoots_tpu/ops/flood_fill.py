@@ -94,6 +94,69 @@ def label_components(
     return labels
 
 
+def make_label_components_stepped(
+    shape: Tuple[int, int, int], rounds_per_dispatch: int = 4, connectivity: int = 26
+):
+    """Connected components split across dispatches.
+
+    Same algorithm as :func:`label_components`, but the propagate+jump rounds
+    run ``rounds_per_dispatch`` at a time in separate jit calls, with the
+    host polling the cheap ``changed`` scalar between dispatches. Needed for
+    very large volumes where a full single-program fixpoint loop would run
+    for minutes (some execution environments bound single-program wall time).
+
+    Returns ``label(binary, max_rounds) -> labels``.
+    """
+    x, y, z = shape
+
+    @jax.jit
+    def init(binary):
+        fg = binary > 0
+        flat_idx = jax.lax.broadcasted_iota(jnp.int32, (x, y, z), 0) * (y * z)
+        flat_idx = flat_idx + jax.lax.broadcasted_iota(jnp.int32, (x, y, z), 1) * z
+        flat_idx = flat_idx + jax.lax.broadcasted_iota(jnp.int32, (x, y, z), 2)
+        return fg, jnp.where(fg, flat_idx + 1, 0)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def round_block(fg, labels):
+        def one_round(lab):
+            if connectivity == 26:
+                nbr = jax.lax.reduce_window(
+                    lab, jnp.int32(0), jax.lax.max, (3, 3, 3), (1, 1, 1),
+                    ((1, 1), (1, 1), (1, 1)),
+                )
+            else:
+                nbr = lab
+                for ax in range(3):
+                    for shift in (-1, 1):
+                        rolled = jnp.roll(lab, shift, axis=ax)
+                        idx = jax.lax.broadcasted_iota(jnp.int32, lab.shape, ax)
+                        edge = idx == (0 if shift == 1 else lab.shape[ax] - 1)
+                        nbr = jnp.maximum(nbr, jnp.where(edge, 0, rolled))
+            new = jnp.where(fg, nbr, 0)
+            flat = new.reshape(-1)
+            tgt = jnp.maximum(new - 1, 0).reshape(-1)
+            new = jnp.where(new > 0, flat[tgt].reshape(new.shape), 0)
+            flat = new.reshape(-1)
+            tgt = jnp.maximum(new - 1, 0).reshape(-1)
+            return jnp.where(new > 0, flat[tgt].reshape(new.shape), 0)
+
+        out = labels
+        for _ in range(rounds_per_dispatch):
+            out = one_round(out)
+        return out, jnp.any(out != labels)
+
+    def label(binary, max_rounds: int = 64):
+        fg, labels = init(binary)
+        for _ in range(0, max_rounds, rounds_per_dispatch):
+            labels, changed = round_block(fg, labels)
+            if not bool(changed):
+                break
+        return labels
+
+    return label
+
+
 def _seam_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Unique (label_a, label_b) pairs of 26-adjacent voxels across a seam.
 

@@ -92,3 +92,17 @@ class TestRemap:
         out, mapping = renumber(x)
         np.testing.assert_array_equal(out, [0, 1, 2, 1, 3])
         assert mapping == {5: 1, 17: 2, 10000: 3}
+
+
+class TestSteppedCC:
+    def test_matches_single_program(self, rng):
+        from skoots_tpu.ops.flood_fill import make_label_components_stepped
+
+        x = (rng.random((24, 24, 8)) > 0.7).astype(np.int32)
+        single = np.asarray(label_components(jnp.asarray(x)))
+        stepped = np.asarray(
+            make_label_components_stepped((24, 24, 8), rounds_per_dispatch=2)(
+                jnp.asarray(x)
+            )
+        )
+        np.testing.assert_array_equal(_canon(single), _canon(stepped))
