@@ -30,9 +30,24 @@ import time
 BASELINE_VOX_PER_S = 3.0e6
 
 
+def _wait_healthy(max_probes: int = 20, interval_s: float = 30.0) -> None:
+    """The TPU worker needs minutes to restart after a crash; probe until a
+    trivial op succeeds before starting a long benchmark."""
+    import jax.numpy as jnp
+
+    for _ in range(max_probes):
+        try:
+            float(jnp.ones((8, 8)).sum())
+            return
+        except Exception:
+            time.sleep(interval_s)
+
+
 def _run(shape, crop, overlap, repeats) -> dict:
     import jax
     import jax.numpy as jnp
+
+    _wait_healthy()
 
     from skoots_tpu.config import get_cfg_defaults
     from skoots_tpu.infer.device_pipeline import make_chunked_pipeline
