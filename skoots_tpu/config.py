@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import copy
 import warnings
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import yaml
 

@@ -34,7 +34,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run_config(cfg_path: str, steps_per_epoch=None) -> None:
     import jax
-    import numpy as np
 
     from skoots_tpu.config import load_cfg_from_file
     from skoots_tpu.parallel import batch_sharding, make_mesh

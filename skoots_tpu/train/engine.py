@@ -16,8 +16,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from skoots_tpu.config import CfgNode
 from skoots_tpu.models import cfg_to_model, split_output
 from skoots_tpu.ops.embed2prob import baked_embed_to_prob
 from skoots_tpu.ops.vec2embed import vector_to_embedding
-from skoots_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from skoots_tpu.parallel.mesh import batch_sharding, replicated
 from skoots_tpu.train.checkpoint import load_checkpoint, restore_params, save_checkpoint
 from skoots_tpu.train.losses import cfg_loss
 from skoots_tpu.train.sigma import Sigma, init_sigma

@@ -23,7 +23,7 @@ Sample contract (host side prepares; see skoots_tpu.train.data):
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from skoots_tpu.config import CfgNode, cfg_from_dict, get_cfg_defaults
+from skoots_tpu.config import cfg_from_dict, get_cfg_defaults
 
 log = logging.getLogger(__name__)
 
