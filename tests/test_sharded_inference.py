@@ -50,16 +50,18 @@ class TestShardedForward:
         skel_r = (sk > 0.8).astype(jnp.uint8)
 
         np.testing.assert_array_equal(np.asarray(skel_s), np.asarray(skel_r))
-        # bf16 reduction order differs under partitioning: voxels with
-        # semantic prob right at the 0.8 gate may flip keep/drop. Demand
-        # near-total agreement and closeness elsewhere.
+        # bf16 reduction order differs under partitioning: values drift a few
+        # ulps through the stack (amplified near the 0.8 semantic gate, which
+        # can flip keep/drop for borderline voxels). Require: gate decisions
+        # agree almost everywhere, and values agree where both sides kept.
         a = np.asarray(vec_s, np.float32)
         b = np.asarray(vec_r, np.float32)
-        close = np.isclose(a, b, atol=1e-2)
-        assert close.mean() > 0.99, f"only {close.mean():.4f} agree"
-        # disagreements must be keep-gate flips (one side exactly zero)
-        dis = ~close
-        assert np.all((a[dis] == 0) | (b[dis] == 0))
+        kept_a = np.any(a != 0, axis=-1)
+        kept_b = np.any(b != 0, axis=-1)
+        gate_agree = (kept_a == kept_b).mean()
+        assert gate_agree > 0.995, f"gate agreement {gate_agree:.4f}"
+        both = kept_a & kept_b
+        np.testing.assert_allclose(a[both], b[both], atol=0.06)
 
     def test_sharding_is_applied(self, setup):
         model, params, mesh = setup
