@@ -38,10 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of *.labels.tif to precompute GT skeletons for")
     p.add_argument("--downscaleXY", type=float, default=1.0)
     p.add_argument("--downscaleZ", type=float, default=1.0)
+    p.add_argument("--skeletonize-method", dest="skeletonize_method",
+                   choices=("medial", "teasar"), default="medial",
+                   help="GT skeletonizer: EDT-ridge medial axis or TEASAR centerlines")
     p.add_argument("--convert", type=str, default=None,
                    help="convert a saved tensor/volume artifact to tif")
     p.add_argument("--log", type=int, default=2, help="log level 0-4")
     p.add_argument("--batch", type=int, default=1, help="tiles per device batch")
+    p.add_argument("--spatial-shards", dest="spatial_shards", type=int, default=0,
+                   help="shard the volume's X axis over this many devices "
+                        "(multi-chip spatially-partitioned inference)")
     return p
 
 
@@ -58,6 +64,7 @@ def main(argv=None) -> int:
         create_gt_skeletons(
             args.skeletonize_train_data,
             scale=(1.0 / args.downscaleXY, 1.0 / args.downscaleXY, 1.0 / args.downscaleZ),
+            method=args.skeletonize_method,
         )
         return 0
 
@@ -86,6 +93,7 @@ def main(argv=None) -> int:
             args.pretrained_checkpoint,
             use_cached_data=args.use_cached,
             batch=args.batch,
+            spatial_shards=args.spatial_shards,
         )
     return 0
 

@@ -7,6 +7,7 @@ from skoots_tpu.infer.device_pipeline import (
 from skoots_tpu.infer.sharded import (
     make_sharded_assign,
     make_sharded_forward,
+    make_sharded_pipeline,
     shard_volume,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "segment_volume_chunked",
     "make_sharded_forward",
     "make_sharded_assign",
+    "make_sharded_pipeline",
     "shard_volume",
 ]

@@ -184,10 +184,16 @@ def run_inference(
     dilation_3d: int = 1,
     dilation_2d: int = 2,
     batch: int = 1,
+    spatial_shards: int = 0,
     output_path: Optional[str] = None,
 ) -> np.ndarray:
     """Segment a volume. Writes ``<image>_instance_mask.tif`` and
     ``<image>_skoots_benchmark.txt`` (reference contract, eval.py:285-310).
+
+    ``spatial_shards > 1`` switches to the multi-chip spatially-partitioned
+    pipeline (``infer.sharded``): the X axis is sharded over that many
+    devices and XLA exchanges conv halos over ICI instead of re-computing
+    overlap bands.
 
     Returns the instance mask ``[X, Y, Z]`` int32.
     """
@@ -218,6 +224,40 @@ def run_inference(
     mean = float(ckpt.get("dataset_mean", volume.mean()))
     std = float(ckpt.get("dataset_std", volume.std()))
     vec_scale = tuple(cfg.SKOOTS.VECTOR_SCALING)
+
+    if spatial_shards and spatial_shards > 1:
+        from skoots_tpu.infer.sharded import make_sharded_pipeline
+        from skoots_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev < spatial_shards:
+            raise ValueError(
+                f"--spatial-shards {spatial_shards} needs that many devices, "
+                f"have {n_dev}"
+            )
+        mesh = make_mesh(data=1, space=spatial_shards,
+                         devices=jax.devices()[:spatial_shards])
+        run = make_sharded_pipeline(
+            model, mesh, (x, y, z), vector_scale=vec_scale,
+            prob_threshold=prob_threshold, embed_iterations=embed_iterations,
+        )
+        bench_start = time.time()
+        instance_mask = run(params, volume.astype(np.float32), mean, std)
+        dt = time.time() - bench_start
+        cur, peak = tracemalloc.get_traced_memory()
+        with open(stem + "_skoots_benchmark.txt", "w") as f:
+            f.write("SKOOTS Segmentation Benchmark:\n")
+            f.write("------------------------------\n")
+            f.write(f"Time: {dt} seconds\n")
+            f.write(f"Memory (current/max): {(cur, peak)}\n\n")
+        instance_mask, _ = renumber(instance_mask)
+        out_path = output_path or (stem + "_instance_mask.tif")
+        imsave(out_path, instance_mask.astype(np.int32))
+        log.info(
+            "sharded (%d-way) segmentation took %.2fs -> %s",
+            spatial_shards, dt, out_path,
+        )
+        return instance_mask
 
     crop = tuple(min(c, _round4(d)) for c, d in zip(crop_size, (x, y, z)))
     crop = tuple(max(4, c // 4 * 4) for c in crop)

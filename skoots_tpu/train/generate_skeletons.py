@@ -37,8 +37,110 @@ def _medial_points(binary: np.ndarray) -> np.ndarray:
     return pts
 
 
+def _teasar_points(
+    binary: np.ndarray,
+    invalidation_scale: float = 3.0,
+    invalidation_const: float = 2.0,
+    pdrf_exponent: int = 8,
+    pdrf_scale: float = 5000.0,
+    max_paths: int = 512,
+) -> np.ndarray:
+    """TEASAR centerline point cloud of a binary object.
+
+    Role of the reference's kimimaro alternative path
+    (/root/reference/skoots/train/generate_skeletons.py:160-185), implemented
+    host-side with scipy (offline preprocessing, not the accelerated path):
+
+    1. EDT of the object; per-voxel penalty ``pdrf_scale*(1-edt/max)^exp``
+       steers paths onto the medial axis (the TEASAR "penalized distance from
+       boundary" field).
+    2. Root = geodesically furthest voxel from an arbitrary start.
+    3. Repeatedly: Dijkstra over the penalty-weighted 26-connected voxel
+       graph, walk the predecessor chain from the furthest still-valid voxel,
+       append the path, invalidate all voxels within
+       ``invalidation_scale*edt + invalidation_const`` of it.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import dijkstra
+    from scipy.spatial import cKDTree
+
+    fg = np.argwhere(binary)
+    n = fg.shape[0]
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
+    if n == 1:
+        return fg.astype(np.float32)
+
+    edt = ndimage.distance_transform_edt(binary)
+    idx_vol = np.full(binary.shape, -1, np.int64)
+    idx_vol[tuple(fg.T)] = np.arange(n)
+
+    # 26-connected adjacency over foreground voxels (13 half-offsets)
+    offsets = [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+        if (dx, dy, dz) > (0, 0, 0)
+    ]
+    pen = pdrf_scale * (1.0 - edt[tuple(fg.T)] / max(edt.max(), 1e-6)) ** pdrf_exponent
+    rows, cols, wts = [], [], []
+    shape = np.asarray(binary.shape)
+    for off in offsets:
+        shifted = fg + off
+        ok = np.all((shifted >= 0) & (shifted < shape), axis=1)
+        src = np.arange(n)[ok]
+        dst = idx_vol[tuple(shifted[ok].T)]
+        hit = dst >= 0
+        src, dst = src[hit], dst[hit]
+        step = float(np.linalg.norm(off))
+        w = step + 0.5 * (pen[src] + pen[dst])
+        rows.append(src)
+        cols.append(dst)
+        wts.append(w)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    wts = np.concatenate(wts)
+    graph = csr_matrix(
+        (np.concatenate([wts, wts]), (np.concatenate([rows, cols]),
+                                      np.concatenate([cols, rows]))),
+        shape=(n, n),
+    )
+
+    # root: furthest (geodesic) voxel from an arbitrary start
+    d0 = dijkstra(graph, indices=0)
+    d0[~np.isfinite(d0)] = -1
+    root = int(np.argmax(d0))
+    dist, pred = dijkstra(graph, indices=root, return_predecessors=True)
+    reachable = np.isfinite(dist)
+
+    valid = reachable.copy()
+    valid[root] = False
+    tree = cKDTree(fg)
+    radii = invalidation_scale * edt[tuple(fg.T)] + invalidation_const
+    paths = [root]
+    for _ in range(max_paths):
+        if not valid.any():
+            break
+        masked = np.where(valid, dist, -np.inf)
+        target = int(np.argmax(masked))
+        path = []
+        v = target
+        while v != -9999 and v != root:
+            path.append(v)
+            v = int(pred[v])
+        path.append(root)
+        paths.extend(path)
+        for p in path:
+            for q in tree.query_ball_point(fg[p], r=float(radii[p])):
+                valid[q] = False
+    return fg[np.unique(np.asarray(paths))].astype(np.float32)
+
+
 def calculate_skeletons(
-    mask: np.ndarray, scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    mask: np.ndarray,
+    scale: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    method: str = "medial",
 ) -> Dict[int, np.ndarray]:
     """Skeleton points per instance id.
 
@@ -46,7 +148,13 @@ def calculate_skeletons(
         mask: ``[X, Y, Z]`` integer instance mask.
         scale: anisotropy upsample factors applied before skeletonization and
             divided back out of the point coordinates (reference :81-89).
+        method: ``"medial"`` (EDT-ridge, reference calculate_skeletons
+            :65-157) or ``"teasar"`` (reference _calculate_skeletons kimimaro
+            path :160-185).
     """
+    if method not in ("medial", "teasar"):
+        raise ValueError(f"unknown skeletonize method {method!r}")
+    extract = _medial_points if method == "medial" else _teasar_points
     scale = np.asarray(scale, np.float32)
     unique = np.unique(mask)
     unique = unique[unique != 0]
@@ -61,7 +169,7 @@ def calculate_skeletons(
         crop = binary[lower[0]:upper[0], lower[1]:upper[1], lower[2]:upper[2]]
         if upsample:
             crop = ndimage.zoom(crop.astype(np.uint8), scale, order=0) > 0
-        pts = _medial_points(crop)
+        pts = extract(crop)
         if pts.shape[0] == 0:  # degenerate: centroid fallback
             pts = np.argwhere(crop).astype(np.float32).mean(0, keepdims=True)
         pts = pts / scale + lower.astype(np.float32)
@@ -89,13 +197,14 @@ def create_gt_skeletons(
     directory: str,
     mask_suffix: str = ".labels.tif",
     scale: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    method: str = "medial",
 ) -> None:
     """For every ``*.labels.tif`` in ``directory``, write
     ``*.skeletons.npz`` (reference create_gt_skeletons :188-215)."""
     files = sorted(glob.glob(os.path.join(directory, f"*{mask_suffix}")))
     for f in files:
         mask = imread(f).astype(np.int32)
-        skels = calculate_skeletons(mask, scale)
+        skels = calculate_skeletons(mask, scale, method=method)
         out = f.replace(mask_suffix, ".skeletons.npz")
         save_skeletons(out, skels)
         print(f"{f}: {len(skels)} skeletons -> {out}")

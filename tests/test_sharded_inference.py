@@ -69,6 +69,62 @@ class TestShardedForward:
         assert len(vol.sharding.device_set) == 8
 
 
+class TestShardedPipeline:
+    def test_matches_unsharded_composition(self, setup):
+        """Full volume->labels over the 8-device mesh vs the same math on one
+        device. CC labels are raveled-index-deterministic, so disagreement can
+        come only from bf16 partitioning drift at the 0.8 gate."""
+        from skoots_tpu.infer.sharded import make_sharded_pipeline
+        from skoots_tpu.ops.flood_fill import label_components
+        from skoots_tpu.ops.morphology import binary_dilation, binary_dilation_2d
+        from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+        model, params, mesh = setup
+        rng = np.random.default_rng(2)
+        vol = rng.random((64, 32, 8), np.float32) * 255
+        mean, std = 128.0, 64.0
+        run = make_sharded_pipeline(
+            model, mesh, vol.shape, vector_scale=(8.0, 8.0, 4.0),
+            embed_iterations=3, cc_rounds=16,
+        )
+        inst_s = run(params, vol, mean, std)
+        assert inst_s.shape == vol.shape and inst_s.dtype == np.int32
+
+        # unsharded composition of the identical math
+        x = (jnp.asarray(vol)[None, ..., None] - mean) / std
+        out = model.apply(params, x, deterministic=True)
+        keep = (out[..., 4:5] > 0.8).astype(out.dtype)
+        vec = (out[..., 0:3] * keep).astype(jnp.bfloat16)
+        sk = binary_dilation(out[..., 3:4] * keep)
+        sk = binary_dilation_2d(binary_dilation_2d(sk))
+        skel = (sk > 0.8).astype(jnp.uint8)[0, ..., 0]
+        labels = label_components(skel, max_rounds=16)
+        emb = vector_to_embedding(
+            jnp.asarray([8.0, 8.0, 4.0]), vec.astype(jnp.float32), n=3
+        )
+        idx = np.round(np.asarray(emb)).astype(np.int64)
+        inst_r = np.asarray(labels)[
+            idx[..., 0].clip(0, 63), idx[..., 1].clip(0, 31), idx[..., 2].clip(0, 7)
+        ]
+        inst_r = np.where(np.any(np.asarray(vec, np.float32) != 0, -1), inst_r, 0)[0]
+        agree = (inst_s == inst_r).mean()
+        assert agree > 0.99, f"instance agreement {agree:.4f}"
+
+    def test_non_divisible_shape_is_padded(self, setup):
+        """X=60 is not divisible by the 8-way 'space' axis; the pipeline must
+        pad internally and trim back."""
+        from skoots_tpu.infer.sharded import make_sharded_pipeline
+
+        model, params, mesh = setup
+        vol = np.random.default_rng(3).random((60, 30, 7), np.float32) * 255
+        run = make_sharded_pipeline(
+            model, mesh, vol.shape, vector_scale=(8.0, 8.0, 4.0),
+            embed_iterations=2, cc_rounds=8,
+        )
+        inst = run(params, vol, 128.0, 64.0)
+        assert inst.shape == (60, 30, 7)
+
+
 class TestShardedAssign:
     def test_matches_unsharded_walk(self, setup):
         model, params, mesh = setup
