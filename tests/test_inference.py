@@ -92,6 +92,22 @@ class TestRunInference:
         saved = imread(stem + "_instance_mask.tif")
         np.testing.assert_array_equal(saved, mask)
 
+    def test_spatial_shards_path(self, tiny_ckpt, tube_tif, tmp_path):
+        """run_inference(spatial_shards=8) uses the sharded whole-volume
+        pipeline (8 virtual CPU devices via conftest) and keeps the output
+        contracts."""
+        from skoots_tpu.infer import run_inference
+
+        path, image = tube_tif
+        out = str(tmp_path / "sharded_mask.tif")
+        mask = run_inference(
+            path, tiny_ckpt, spatial_shards=8, output_path=out,
+        )
+        assert mask.shape == image.shape and mask.dtype == np.int32
+        np.testing.assert_array_equal(imread(out), mask)
+        with pytest.raises(ValueError):
+            run_inference(path, tiny_ckpt, spatial_shards=64)
+
     def test_cached_rerun(self, tiny_ckpt, tube_tif):
         from skoots_tpu.infer import run_inference
 
