@@ -169,6 +169,7 @@ def make_chunked_pipeline(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     cc_rounds: int = 32,
+    cc_propagates_per_round: int = 1,
     tiles_per_dispatch: int = 16,
     dtype=jnp.bfloat16,
 ):
@@ -244,7 +245,10 @@ def make_chunked_pipeline(
     # minutes)
     from skoots_tpu.ops.flood_fill import make_label_components_stepped
 
-    stepped_cc = make_label_components_stepped((x, y, z), rounds_per_dispatch=4)
+    stepped_cc = make_label_components_stepped(
+        (x, y, z), rounds_per_dispatch=4,
+        propagates_per_round=cc_propagates_per_round,
+    )
 
     # phase-3 tiles can be much larger than forward tiles: the embedding walk
     # has no multi-hundred-channel activations, only [tile, 3] f32 temps

@@ -106,3 +106,19 @@ class TestSteppedCC:
             )
         )
         np.testing.assert_array_equal(_canon(single), _canon(stepped))
+
+    def test_multi_propagate_rounds_exact(self, rng):
+        """Extra 1-hop propagates per gather round trade random-gather
+        traffic for streaming passes; the partition must stay identical
+        (each hop is still masked 26-conn — no background bridging)."""
+        from skoots_tpu.ops.flood_fill import make_label_components_stepped
+
+        x = (rng.random((32, 28, 12)) > 0.55).astype(np.int32)  # percolates
+        ref = np.asarray(label_components(jnp.asarray(x), max_rounds=64))
+        for k in (2, 3, 4):
+            lab = np.asarray(
+                make_label_components_stepped(x.shape, propagates_per_round=k)(
+                    jnp.asarray(x), max_rounds=64
+                )
+            )
+            np.testing.assert_array_equal(ref, lab)
