@@ -77,7 +77,7 @@ def _run(shape, crop, overlap, repeats) -> dict:
         model, shape, crop=crop, overlap=overlap,
         assign_crop=(256, 256, 64),
         embed_iterations=10, cc_rounds=24,
-        cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "1")),
+        cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "6")),
         tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "16")),
     )
 

@@ -44,6 +44,7 @@ def make_device_pipeline(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     cc_rounds: int = 32,
+    cc_propagates_per_round: int = 6,
     dtype=jnp.bfloat16,
 ):
     """Build the jitted whole-volume pipeline for a fixed volume shape.
@@ -121,7 +122,10 @@ def make_device_pipeline(
         )
 
         # phase 2: whole-volume connected components, on device, seam-free
-        labels = label_components(skel_full, max_rounds=cc_rounds)
+        labels = label_components(
+            skel_full, max_rounds=cc_rounds,
+            propagates_per_round=cc_propagates_per_round,
+        )
 
         # phase 3: iterated embedding walk + instance gather, TILED — the
         # full-volume f32 embedding would need several multi-GB temporaries
@@ -169,7 +173,7 @@ def make_chunked_pipeline(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     cc_rounds: int = 32,
-    cc_propagates_per_round: int = 1,
+    cc_propagates_per_round: int = 6,
     tiles_per_dispatch: int = 16,
     dtype=jnp.bfloat16,
 ):

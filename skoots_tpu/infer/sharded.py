@@ -112,6 +112,7 @@ def make_sharded_pipeline(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     cc_rounds: int = 32,
+    cc_propagates_per_round: int = 6,
 ):
     """Full volume -> instance labels over the mesh's 'space' axis.
 
@@ -151,7 +152,8 @@ def make_sharded_pipeline(
             & (jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 2) < z)
         )
         return label_components(
-            jnp.where(inb, skel, 0), max_rounds=cc_rounds
+            jnp.where(inb, skel, 0), max_rounds=cc_rounds,
+            propagates_per_round=cc_propagates_per_round,
         )
 
     cc = jax.jit(_cc, in_shardings=vol3, out_shardings=rep)
