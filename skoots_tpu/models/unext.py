@@ -15,6 +15,7 @@ by 2x in every spatial axis.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Sequence
 
 import jax
@@ -22,7 +23,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 _ACTIVATIONS: dict[str, Callable] = {
-    "gelu": nn.gelu,
+    # exact (erf) gelu: torch nn.GELU default, used by the reference's
+    # ConvNeXt blocks — flax's approximate tanh form would break .trch
+    # weight-import parity
+    "gelu": partial(nn.gelu, approximate=False),
     "relu": nn.relu,
     "silu": nn.silu,
     "selu": nn.selu,

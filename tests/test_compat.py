@@ -1,7 +1,178 @@
-"""torch .trch converter + model cost helpers + remaining morphology."""
+"""torch .trch converter (value-level twin parity) + stats + morphology."""
 
 import numpy as np
 import pytest
+
+
+def _build_torch_twin(torch, dims, depths, in_channels, out_channels, k=7):
+    """A torch UNeXT twin mirroring the presumed bism registration order
+    (stem -> enc stages + downsamples -> bottleneck -> skip-fuse + dec
+    stages -> final norm/head -> 3 output heads). Used to validate the
+    order-based .trch weight mapper at value level."""
+    nn = torch.nn
+    F = torch.nn.functional
+
+    class Block(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dwconv = nn.Conv3d(dim, dim, k, padding=k // 2, groups=dim)
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+            self.pwconv1 = nn.Linear(dim, 4 * dim)
+            self.act = nn.GELU()
+            self.pwconv2 = nn.Linear(4 * dim, dim)
+            self.gamma = nn.Parameter(torch.ones(dim))
+
+        def forward(self, x):  # [B, C, X, Y, Z]
+            inp = x
+            x = self.dwconv(x)
+            x = x.permute(0, 2, 3, 4, 1)
+            x = self.pwconv2(self.act(self.pwconv1(self.norm(x))))
+            x = self.gamma * x
+            return inp + x.permute(0, 4, 1, 2, 3)
+
+    class LayerNormCF(nn.Module):  # channels-first LayerNorm
+        def __init__(self, dim):
+            super().__init__()
+            self.weight = nn.Parameter(torch.ones(dim))
+            self.bias = nn.Parameter(torch.zeros(dim))
+
+        def forward(self, x):
+            u = x.mean(1, keepdim=True)
+            s = (x - u).pow(2).mean(1, keepdim=True)
+            x = (x - u) / torch.sqrt(s + 1e-6)
+            return self.weight[:, None, None, None] * x + self.bias[:, None, None, None]
+
+    class Down(nn.Module):
+        def __init__(self, din, dout):
+            super().__init__()
+            self.norm = LayerNormCF(din)
+            self.conv = nn.Conv3d(din, dout, 2, stride=2)
+
+        def forward(self, x):
+            return self.conv(self.norm(x))
+
+    class Twin(nn.Module):
+        def __init__(self):
+            super().__init__()
+            kd = len(dims) // 2
+            self.stem = nn.Conv3d(in_channels, dims[0], k, padding=k // 2)
+            self.enc = nn.ModuleList()
+            for s in range(kd):
+                self.enc.append(nn.Sequential(
+                    *[Block(dims[s]) for _ in range(depths[s])],
+                    Down(dims[s], dims[s + 1]),
+                ))
+            self.bottleneck = nn.Sequential(
+                *[Block(dims[kd]) for _ in range(depths[kd])])
+            self.dec = nn.ModuleList()
+            for s in range(kd):
+                d = kd + 1 + s
+                self.dec.append(nn.ModuleDict({
+                    "fuse": nn.Conv3d(dims[d - 1] + dims[kd - 1 - s], dims[d], 1),
+                    "blocks": nn.Sequential(
+                        *[Block(dims[d]) for _ in range(depths[d])]),
+                }))
+            self.final_norm = LayerNormCF(dims[-1])
+            self.head_conv = nn.Conv3d(dims[-1], out_channels, 1)
+            self.vector = nn.Conv3d(out_channels, 3, 1)
+            self.skeleton = nn.Conv3d(out_channels, 1, 1)
+            self.semantic = nn.Conv3d(out_channels, 1, 1)
+
+        def forward(self, x):
+            kd = len(dims) // 2
+            skips = []
+            x = self.stem(x)
+            for s in range(kd):
+                for m in self.enc[s][:-1]:
+                    x = m(x)
+                skips.append(x)
+                x = self.enc[s][-1](x)
+            x = self.bottleneck(x)
+            for s in range(kd):
+                x = F.interpolate(x, scale_factor=2, mode="trilinear",
+                                  align_corners=False)
+                x = self.dec[s]["fuse"](torch.cat([x, skips[kd - 1 - s]], 1))
+                x = self.dec[s]["blocks"](x)
+            x = self.head_conv(self.final_norm(x))
+            return torch.cat([torch.tanh(self.vector(x)),
+                              torch.sigmoid(self.skeleton(x)),
+                              torch.sigmoid(self.semantic(x))], 1)
+
+    return Twin()
+
+
+class TestTorchTwinParity:
+    """VERDICT round-1 item 3: value-level .trch import proof."""
+
+    DIMS = [4, 8, 4]
+    DEPTHS = [2, 1, 2]
+
+    def _cfg(self):
+        from skoots_tpu.config import get_cfg_defaults
+
+        cfg = get_cfg_defaults()
+        cfg.defrost()
+        cfg.MODEL.DIMS = self.DIMS
+        cfg.MODEL.DEPTHS = self.DEPTHS
+        cfg.MODEL.IN_CHANNELS = 1
+        cfg.MODEL.OUT_CHANNELS = 8
+        cfg.MODEL.DTYPE = "float32"
+        cfg.freeze()
+        return cfg
+
+    def test_all_tensors_map_and_forward_matches(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+
+        from skoots_tpu.models import init_model
+        from skoots_tpu.utils.torch_compat import map_torch_state
+
+        cfg = self._cfg()
+        torch.manual_seed(7)
+        twin = _build_torch_twin(torch, self.DIMS, self.DEPTHS, 1, 8)
+        # randomize every parameter (default-init norms/convs would hide
+        # mapping errors behind identical constants)
+        with torch.no_grad():
+            for p in twin.parameters():
+                p.copy_(torch.randn_like(p) * 0.2)
+        state = {k: np.asarray(v.detach().numpy())
+                 for k, v in twin.state_dict().items()}
+
+        model, params = init_model(cfg, jax.random.PRNGKey(0), spatial=(8, 8, 4))
+        params, mapped, unmapped, unfilled = map_torch_state(params, state, cfg)
+        assert unmapped == [], f"unmapped torch tensors: {unmapped}"
+        assert unfilled == [], f"unfilled flax params: {unfilled}"
+        assert mapped == len(state)
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1, 16, 16, 8, 1)).astype(np.float32)
+        with torch.no_grad():
+            ref = twin(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+        ref = np.asarray(ref).transpose(0, 2, 3, 4, 1)
+        got = np.asarray(model.apply(params, jnp.asarray(x), deterministic=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_lcs_alignment_tolerates_extra_buffers(self):
+        torch = pytest.importorskip("torch")
+        import jax
+
+        from skoots_tpu.models import init_model
+        from skoots_tpu.utils.torch_compat import map_torch_state
+
+        cfg = self._cfg()
+        torch.manual_seed(1)
+        twin = _build_torch_twin(torch, self.DIMS, self.DEPTHS, 1, 8)
+        state = {k: np.asarray(v.detach().numpy())
+                 for k, v in twin.state_dict().items()}
+        # simulate a bism variant with integer buffers and one stray tensor
+        state["num_batches_tracked"] = np.zeros((), np.int64)
+        state["some.extra.tensor"] = np.zeros((13, 17), np.float32)
+
+        model, params = init_model(cfg, jax.random.PRNGKey(0), spatial=(8, 8, 4))
+        params, mapped, unmapped, unfilled = map_torch_state(params, state, cfg)
+        assert unmapped == ["some.extra.tensor"]
+        assert unfilled == []
 
 
 class TestTorchCompat:
