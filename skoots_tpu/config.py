@@ -133,6 +133,7 @@ def _default_cfg() -> CfgNode:
     c.MODEL.NORMALIZATION = "layernorm"
     c.MODEL.COMPILE = True                # jit is free on TPU; default on
     c.MODEL.DTYPE = "bfloat16"            # compute dtype for the backbone
+    c.MODEL.DWCONV_IMPL = "auto"          # 'auto'|'pallas'|'xla' depthwise conv
 
     # -------------------------------------------------------------- TRAIN
     # Mirrors reference cfg.TRAIN (/root/reference/skoots/config.py:37-116).

@@ -134,6 +134,733 @@ def _fit(dim: int, want: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# v2: z-slice lane packing with in-kernel dz shifts.
+#
+# Layout: [X, Y, ZQ, G*C] where G = 128//C and packed row q holds z-slices
+# q*G .. q*G+G-1 — a pure reshape of the padded input, so HBM traffic is 1x
+# (the round-1 packed variant materialized 7 z-shifted HBM copies). The seven
+# dz tap shifts are reconstructed ONCE per tile in VMEM: shifting z by dz
+# moves lane group g to group (g+dz)%G of packed row q+(g+dz)//G, i.e. a lane
+# roll of two row-offset slab views blended by a lane-group mask. After that,
+# every one of the k^3 tap reads is an aligned vreg load at a static (dx, dy)
+# leading-dim offset, and the accumulator is a pure dataflow value Mosaic can
+# keep in registers. fp32 accumulation (VPU FMA is fastest in fp32 on v5e).
+
+
+def _dw_v2_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
+                  k, zq, g, c, rows):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[
+            pl.ds(i * bx, bx + k - 1),
+            pl.ds(j * by, by + k - 1),
+            slice(None),
+            slice(None),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    lanes = g * c
+    group = jax.lax.broadcasted_iota(
+        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
+    ) // c
+
+    # Precompute the k dz-shifted views of the slab.
+    for dz in range(k):
+        r0 = dz // g
+        r1 = (g - 1 + dz) // g
+
+        def view(r):
+            src = slab[:, :, r : r + zq, :]
+            shift = (-(dz - r * g) * c) % lanes
+            if shift == 0:
+                return src
+            if src.dtype == jnp.bfloat16:
+                # Mosaic lane rotate is 32-bit only; round-trip through f32
+                # (precompute — amortized over all k^3 tap FMAs).
+                return pltpu.roll(src.astype(jnp.float32), shift, 3).astype(
+                    jnp.bfloat16
+                )
+            return pltpu.roll(src, shift, 3)
+
+        if r0 == r1:
+            shifted[dz] = view(r0)
+        else:
+            # groups with (g_idx + dz) // g == r0 come from view(r0)
+            shifted[dz] = jnp.where(
+                group < (r0 + 1) * g - dz, view(r0), view(r1)
+            )
+
+    acc = b_ref[...].astype(jnp.float32) * jnp.ones((bx, by, zq, lanes), jnp.float32)
+    for dx in range(k):
+        for dy in range(k):
+            for dz in range(k):
+                w = w_ref[dx, dy, dz]  # [lanes] f32
+                acc += shifted[dz, dx : dx + bx, dy : dy + by].astype(jnp.float32) * w
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _dw_v3_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
+                  k, zq, g, c, rows, ycol, chains):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[
+            pl.ds(i * bx, bx + k - 1),
+            pl.ds(j * by, by + k - 1),
+            slice(None),
+            slice(None),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    lanes = g * c
+    group = jax.lax.broadcasted_iota(
+        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
+    ) // c
+
+    for dz in range(k):
+        r0 = dz // g
+        r1 = (g - 1 + dz) // g
+
+        def view(r):
+            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
+            shift = (-(dz - r * g) * c) % lanes
+            if shift == 0:
+                return src
+            return pltpu.roll(src, shift, 3)
+
+        if r0 == r1:
+            shifted[dz] = view(r0)
+        else:
+            shifted[dz] = jnp.where(group < (r0 + 1) * g - dz, view(r0),
+                                    view(r1))
+
+    taps = [(dx, dy, dz) for dx in range(k) for dy in range(k)
+            for dz in range(k)]
+    bias = b_ref[...]
+
+    def body(t, carry):
+        xi = t // (by // ycol)
+        yi = (t % (by // ycol)) * ycol
+        # `chains` interleaved sequential FMA chains for ILP; the per-column
+        # accumulator (ycol, zq, lanes) stays in vector registers.
+        accs = []
+        for ci in range(chains):
+            sub = taps[ci::chains]
+            dx, dy, dz = sub[0]
+            a = (
+                shifted[dz, xi + dx, pl.ds(yi + dy, ycol)]
+                * w_ref[dx, dy, dz]
+            )
+            for dx, dy, dz in sub[1:]:
+                a += (
+                    shifted[dz, xi + dx, pl.ds(yi + dy, ycol)]
+                    * w_ref[dx, dy, dz]
+                )
+            accs.append(a)
+        while len(accs) > 1:
+            accs = [
+                accs[n] + accs[n + 1] for n in range(0, len(accs) - 1, 2)
+            ] + (accs[-1:] if len(accs) % 2 else [])
+        out = accs[0] + bias
+        o_ref[xi, pl.ds(yi, ycol)] = out.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, bx * (by // ycol), body, 0)
+
+
+def _dw_v4_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
+                  k, zq, g, c, rows, acols, probe=None):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[
+            pl.ds(i * bx, bx + k - 1),
+            pl.ds(j * by, by + k - 1),
+            slice(None),
+            slice(None),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    lanes = g * c
+    group = jax.lax.broadcasted_iota(
+        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
+    ) // c
+
+    for dz in range(k):
+        r0 = dz // g
+        r1 = (g - 1 + dz) // g
+
+        def view(r):
+            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
+            shift = (-(dz - r * g) * c) % lanes
+            if shift == 0:
+                return src
+            return pltpu.roll(src, shift, 3)
+
+        if probe == "noprep":
+            shifted[dz] = slab[:, :, 0:zq, :].astype(jnp.float32)
+        elif r0 == r1:
+            shifted[dz] = view(r0)
+        else:
+            shifted[dz] = jnp.where(group < (r0 + 1) * g - dz, view(r0),
+                                    view(r1))
+
+    bias = b_ref[...]
+
+    def body(t, carry):
+        # one x row, `acols` output columns along y; accumulators live in
+        # vector registers across all k^3 taps. Each loaded source column
+        # feeds up to k accumulators (the dy taps) — the load:FMA ratio is
+        # what unlocks the VPU (loads issue ~1/cycle, FMAs ~8/cycle).
+        xi = t // (by // acols)
+        y0 = (t % (by // acols)) * acols
+        accs = [jnp.zeros((zq, lanes), jnp.float32) for _ in range(acols)]
+        fixed = shifted[0, xi, y0]
+        for dz in range(k):
+            for dx in range(k):
+                if probe == "hoistw":
+                    wv = [
+                        jnp.broadcast_to(w_ref[dx, dy, dz], (zq, lanes))
+                        for dy in range(k)
+                    ]
+                else:
+                    wv = [w_ref[dx, dy, dz] for dy in range(k)]
+                for yy in range(acols + k - 1):
+                    if probe == "noload":
+                        s = fixed
+                    else:
+                        s = shifted[dz, xi + dx, y0 + yy]
+                    for dy in range(k):
+                        ci = yy - dy
+                        if 0 <= ci < acols:
+                            if probe == "noweight":
+                                accs[ci] = accs[ci] + s * jnp.float32(
+                                    0.5 + 0.001 * dy
+                                )
+                            else:
+                                accs[ci] = accs[ci] + s * wv[dy]
+        for ci in range(acols):
+            o_ref[xi, y0 + ci] = (accs[ci] + bias).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, bx * (by // acols), body, 0)
+
+
+def dwconv3d_pallas_v4(
+    x: jax.Array,
+    weights: jax.Array,
+    bias: jax.Array | None = None,
+    block: tuple[int, int] = (8, 8),
+    acols: int = 8,
+    interpret: bool = False,
+    probe: str | None = None,
+) -> jax.Array:
+    """Load-reusing register-blocked depthwise 3D conv (SAME padding).
+
+    Same packed layout as v2/v3; the inner loop streams each source column
+    once and FMAs it into `acols` register-resident output columns.
+    Requirements: 128 % C == 0 and Z % (128 // C) == 0.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    bsz, xs, ys, zs, c = x.shape
+    if weights.ndim == 5:
+        weights = weights[:, :, :, 0, :]
+    k = weights.shape[0]
+    half = (k - 1) // 2
+    g = 128 // c
+    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
+    zq = zs // g
+    rows = (g - 1 + k - 1) // g
+    rows = ((zq + rows + 7) // 8) * 8 - zq
+    lanes = g * c
+
+    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
+    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))
+    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
+
+    bx = _fit(xs, block[0])
+    by = _fit(ys, block[1])
+    acols = min(acols, by)
+    while by % acols:
+        acols -= 1
+
+    def one(xi):
+        zback = (zq + rows) * g - zs - half
+        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
+        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
+        out = pl.pallas_call(
+            partial(_dw_v4_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
+                    rows=rows, acols=acols, probe=probe),
+            grid=(xs // bx, ys // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
+                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(xpacked, wpacked, bpacked)
+        return out.reshape(xs, ys, zs, c)
+
+    out = jax.vmap(one)(x)
+    return out[0] if squeeze else out
+
+
+def _dw_v5_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
+                  k, zq, g, c, rows, acols):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[
+            pl.ds(i * bx, bx + k - 1),
+            pl.ds(j * by, by + k - 1),
+            slice(None),
+            slice(None),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    lanes = g * c
+    group = jax.lax.broadcasted_iota(
+        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
+    ) // c
+
+    for dz in range(k):
+        r0 = dz // g
+        r1 = (g - 1 + dz) // g
+
+        def view(r):
+            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
+            shift = (-(dz - r * g) * c) % lanes
+            if shift == 0:
+                return src
+            return pltpu.roll(src, shift, 3)
+
+        if r0 == r1:
+            shifted[dz] = view(r0)
+        else:
+            shifted[dz] = jnp.where(group < (r0 + 1) * g - dz, view(r0),
+                                    view(r1))
+
+    bias = b_ref[...]
+    nblk = by // acols
+
+    def body(xi, carry):
+        # one x row; whole-row windows loaded wide, register-sliced per tap.
+        accs = [jnp.zeros((acols, zq, lanes), jnp.float32)
+                for _ in range(nblk)]
+        for dz in range(k):
+            for dx in range(k):
+                wnd = shifted[dz, xi + dx]  # (by+k-1, zq, lanes), one load
+                wb = [
+                    jnp.broadcast_to(w_ref[dx, dy, dz], (zq, lanes))
+                    for dy in range(k)
+                ]
+                for dy in range(k):
+                    for b in range(nblk):
+                        s = jax.lax.slice_in_dim(
+                            wnd, b * acols + dy, b * acols + dy + acols, axis=0
+                        )
+                        accs[b] = accs[b] + s * wb[dy]
+        for b in range(nblk):
+            o_ref[xi, pl.ds(b * acols, acols)] = (accs[b] + bias).astype(
+                o_ref.dtype
+            )
+        return carry
+
+    jax.lax.fori_loop(0, bx, body, 0)
+
+
+def dwconv3d_pallas_v5(
+    x: jax.Array,
+    weights: jax.Array,
+    bias: jax.Array | None = None,
+    block: tuple[int, int] = (8, 8),
+    acols: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Wide-window register-sliced depthwise 3D conv (SAME padding).
+
+    Same packed layout as v2/v4; per x-row, each (dz, dx) source window is
+    loaded once as a wide op and sliced in registers for the dy taps.
+    Requirements: 128 % C == 0 and Z % (128 // C) == 0.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    bsz, xs, ys, zs, c = x.shape
+    if weights.ndim == 5:
+        weights = weights[:, :, :, 0, :]
+    k = weights.shape[0]
+    half = (k - 1) // 2
+    g = 128 // c
+    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
+    zq = zs // g
+    rows = (g - 1 + k - 1) // g
+    rows = ((zq + rows + 7) // 8) * 8 - zq
+    lanes = g * c
+
+    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
+    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))
+    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
+
+    bx = _fit(xs, block[0])
+    by = _fit(ys, block[1])
+    acols = min(acols, by)
+    while by % acols:
+        acols -= 1
+
+    def one(xi):
+        zback = (zq + rows) * g - zs - half
+        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
+        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
+        out = pl.pallas_call(
+            partial(_dw_v5_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
+                    rows=rows, acols=acols),
+            grid=(xs // bx, ys // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
+                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(xpacked, wpacked, bpacked)
+        return out.reshape(xs, ys, zs, c)
+
+    out = jax.vmap(one)(x)
+    return out[0] if squeeze else out
+
+
+def _dw_v6_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
+                  k, zq, g, c, rows):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[
+            pl.ds(i * bx, bx + k - 1),
+            pl.ds(j * by, by + k - 1),
+            slice(None),
+            slice(None),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    lanes = g * c
+    wy = by + k - 1
+    fslab = (bx + k - 1) * wy
+    aflat = bx * wy
+    group = jax.lax.broadcasted_iota(
+        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
+    ) // c
+
+    for dz in range(k):
+        r0 = dz // g
+        r1 = (g - 1 + dz) // g
+
+        def view(r):
+            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
+            shift = (-(dz - r * g) * c) % lanes
+            if shift == 0:
+                return src
+            return pltpu.roll(src, shift, 3)
+
+        if r0 == r1:
+            v = view(r0)
+        else:
+            v = jnp.where(group < (r0 + 1) * g - dz, view(r0), view(r1))
+        shifted[dz, 0:fslab] = v.reshape(fslab, zq, lanes)
+
+    # Flattened-offset taps: out flat position p = xi*wy + y needs source flat
+    # p + dx*wy + dy. Each tap is ONE contiguous wide FMA over the whole tile
+    # (plus halo-seam garbage columns, discarded at write time) — the shape
+    # Mosaic streams at full VPU rate with per-vreg dependency chains.
+    acc = jnp.zeros((aflat, zq, lanes), jnp.float32)
+    for dz in range(k):
+        for dx in range(k):
+            for dy in range(k):
+                off = dx * wy + dy
+                s = shifted[dz, off : off + aflat]
+                wb = jnp.broadcast_to(w_ref[dx, dy, dz], (zq, lanes))
+                acc = acc + s * wb
+
+    bias = b_ref[...]
+    for xi in range(bx):
+        row = jax.lax.slice_in_dim(acc, xi * wy, xi * wy + by, axis=0)
+        o_ref[xi] = (row + bias).astype(o_ref.dtype)
+
+
+def dwconv3d_pallas_v6(
+    x: jax.Array,
+    weights: jax.Array,
+    bias: jax.Array | None = None,
+    block: tuple[int, int] = (8, 16),
+    interpret: bool = False,
+) -> jax.Array:
+    """Flattened-offset wide-op depthwise 3D conv (SAME padding).
+
+    Same z-lane packing as v2..v5; the (x, y) tile is flattened so every tap
+    is a single contiguous vector FMA over the whole tile.
+    Requirements: 128 % C == 0, Z % (128 // C) == 0, (Z // (128//C)) % 8 == 0.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    bsz, xs, ys, zs, c = x.shape
+    if weights.ndim == 5:
+        weights = weights[:, :, :, 0, :]
+    k = weights.shape[0]
+    half = (k - 1) // 2
+    g = 128 // c
+    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
+    zq = zs // g
+    assert zq % 8 == 0, (zs, c, zq)
+    rows = (g - 1 + k - 1) // g
+    rows = ((zq + rows + 7) // 8) * 8 - zq
+    lanes = g * c
+
+    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
+    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))
+    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
+
+    bx = _fit(xs, block[0])
+    by = _fit(ys, block[1])
+    fslab = (bx + k - 1) * (by + k - 1)
+
+    def one(xi):
+        zback = (zq + rows) * g - zs - half
+        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
+        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
+        out = pl.pallas_call(
+            partial(_dw_v6_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
+                    rows=rows),
+            grid=(xs // bx, ys // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
+                # +8 flat-column pad: the largest tap offset reads past the
+                # slab by k-1 columns (garbage that only feeds garbage)
+                pltpu.VMEM((k, fslab + 8, zq, lanes), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(xpacked, wpacked, bpacked)
+        return out.reshape(xs, ys, zs, c)
+
+    out = jax.vmap(one)(x)
+    return out[0] if squeeze else out
+
+
+def dwconv3d_pallas_v3(
+    x: jax.Array,
+    weights: jax.Array,
+    bias: jax.Array | None = None,
+    block: tuple[int, int] = (8, 8),
+    ycol: int = 2,
+    chains: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Register-blocked z-lane-packed depthwise 3D conv, SAME padding.
+
+    Same layout as v2, but the tap loop runs per output (x, y) column with
+    the column accumulator in vector registers.
+    Requirements: 128 % C == 0 and Z % (128 // C) == 0.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    bsz, xs, ys, zs, c = x.shape
+    if weights.ndim == 5:
+        weights = weights[:, :, :, 0, :]
+    k = weights.shape[0]
+    half = (k - 1) // 2
+    g = 128 // c
+    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
+    zq = zs // g
+    rows = (g - 1 + k - 1) // g
+    rows = ((zq + rows + 7) // 8) * 8 - zq
+    lanes = g * c
+
+    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
+    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))
+    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
+
+    bx = _fit(xs, block[0])
+    by = _fit(ys, block[1])
+    ycol = min(ycol, by)
+    while by % ycol:
+        ycol -= 1
+
+    def one(xi):
+        zback = (zq + rows) * g - zs - half
+        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
+        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
+        out = pl.pallas_call(
+            partial(_dw_v3_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
+                    rows=rows, ycol=ycol, chains=chains),
+            grid=(xs // bx, ys // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
+                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(xpacked, wpacked, bpacked)
+        return out.reshape(xs, ys, zs, c)
+
+    out = jax.vmap(one)(x)
+    return out[0] if squeeze else out
+
+
+def dwconv3d_pallas_v2(
+    x: jax.Array,
+    weights: jax.Array,
+    bias: jax.Array | None = None,
+    block: tuple[int, int] = (8, 8),
+    interpret: bool = False,
+) -> jax.Array:
+    """z-slice lane-packed depthwise 3D conv, SAME padding.
+
+    Requirements: 128 % C == 0 and Z % (128 // C) == 0.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    bsz, xs, ys, zs, c = x.shape
+    if weights.ndim == 5:
+        weights = weights[:, :, :, 0, :]
+    k = weights.shape[0]
+    half = (k - 1) // 2
+    g = 128 // c
+    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
+    zq = zs // g
+    rows = (g - 1 + k - 1) // g  # extra packed halo rows below
+    # slab sublane dim must be 8-aligned for VMEM tiling
+    rows = ((zq + rows + 7) // 8) * 8 - zq
+    lanes = g * c
+
+    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
+    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))  # [k,k,k,128]
+    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
+
+    bx = _fit(xs, block[0])
+    by = _fit(ys, block[1])
+
+    def one(xi):
+        # pad: x/y by `half` both sides; z front by `half`, back to fill the
+        # halo rows ((zq + rows) * g total)
+        zback = (zq + rows) * g - zs - half
+        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
+        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
+        out = pl.pallas_call(
+            partial(_dw_v2_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
+                    rows=rows),
+            grid=(xs // bx, ys // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
+                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes), x.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(xpacked, wpacked, bpacked)
+        return out.reshape(xs, ys, zs, c)
+
+    out = jax.vmap(one)(x)
+    return out[0] if squeeze else out
+
+
+# --------------------------------------------------------------------------
 # Packed-lane variant: fills all 128 VPU lanes at C < 128 by packing G = 128/C
 # consecutive z-slices into the lane dimension ([X, Y, Z, C] -> [X, Y, Z/G,
 # G*C], a pure reshape). The k z-taps are materialized as k z-shifted copies

@@ -42,6 +42,7 @@ def cfg_to_model(cfg: CfgNode) -> SpatialEmbedding:
         layer_scale_init_value=cfg.MODEL.LAYER_SCALE_INIT_VALUE,
         activation=cfg.MODEL.ACTIVATION,
         dtype=dtype,
+        dwconv_impl=cfg.MODEL.get("DWCONV_IMPL", "auto"),
     )
     return SpatialEmbedding(backbone=backbone, dtype=dtype)
 

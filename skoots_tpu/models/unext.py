@@ -49,12 +49,69 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def _pallas_dwconv_eligible(x: jax.Array, k: int) -> bool:
+    """Shape gate for the Pallas z-lane-packed depthwise kernel."""
+    if x.ndim != 5:
+        return False
+    _, xs, ys, zs, c = x.shape
+    if c > 128 or 128 % c or zs % (128 // c):
+        return False
+    zq = zs // (128 // c)
+    return zq % 8 == 0 and min(xs, ys) >= 8
+
+
+class DWConv3D(nn.Module):
+    """Depthwise k^3 conv with the same param tree as flax nn.Conv
+    (kernel [k,k,k,1,C], bias [C]) and a Pallas fast path.
+
+    impl: 'xla' | 'pallas' | 'auto' (pallas on TPU when shapes allow).
+    """
+
+    dim: int
+    kernel_size: int = 7
+    dtype: jnp.dtype = jnp.bfloat16
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, k, 1, self.dim),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        x = x.astype(self.dtype)
+        kb = kernel.astype(self.dtype)
+        bb = bias.astype(self.dtype)
+        impl = self.impl
+        if impl == "auto":
+            on_tpu = any(d.platform == "tpu" for d in jax.devices())
+            impl = "pallas" if on_tpu else "xla"
+        if impl == "pallas" and _pallas_dwconv_eligible(x, k):
+            from skoots_tpu.kernels.dwconv import dwconv3d_pallas_v4
+
+            return dwconv3d_pallas_v4(x, kb, bb)
+        out = jax.lax.conv_general_dilated(
+            x,
+            kb,
+            window_strides=(1, 1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+            feature_group_count=self.dim,
+        )
+        return out + bb
+
+
 class ConvNeXtBlock3D(nn.Module):
     """ConvNeXt block: depthwise k^3 conv -> LN -> pointwise MLP (4x) -> scale.
 
     Equivalent role to bism.modules.convnext_block.Block3D (reference
-    lib/utils.py:25). The depthwise conv is cheap VPU work; the two pointwise
-    Dense layers are the MXU hot path.
+    lib/utils.py:25). The depthwise conv runs in the Pallas packed-lane
+    kernel when eligible; the two pointwise Dense layers are the MXU hot
+    path.
     """
 
     dim: int
@@ -63,18 +120,18 @@ class ConvNeXtBlock3D(nn.Module):
     drop_path: float = 0.0
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.bfloat16
+    dwconv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         act = _ACTIVATIONS[self.activation]
         shortcut = x
         k = self.kernel_size
-        x = nn.Conv(
+        x = DWConv3D(
             self.dim,
-            kernel_size=(k, k, k),
-            feature_group_count=self.dim,
-            padding="SAME",
+            kernel_size=k,
             dtype=self.dtype,
+            impl=self.dwconv_impl,
             name="dwconv",
         )(x)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
@@ -148,6 +205,7 @@ class UNeXT3D(nn.Module):
     layer_scale_init_value: float = 1.0
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.bfloat16
+    dwconv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -164,6 +222,7 @@ class UNeXT3D(nn.Module):
                     self.drop_path_rate,
                     self.activation,
                     self.dtype,
+                    dwconv_impl=self.dwconv_impl,
                     name=f"{name}_block{i}",
                 )(x, deterministic)
             return x
@@ -212,6 +271,7 @@ class UNet3D(nn.Module):
     # accepted for factory compatibility; unused by the classic blocks
     drop_path_rate: float = 0.0
     layer_scale_init_value: float = 1.0
+    dwconv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:

@@ -1,0 +1,75 @@
+"""Pallas depthwise-conv kernels vs lax.conv_general_dilated (interpret mode).
+
+The 7^3 depthwise conv is the UNeXT hot op (reference ConvNeXt Block3D role,
+/root/reference/skoots/lib/utils.py:25); these tests pin the Pallas kernels'
+math to XLA's grouped convolution on every supported channel width.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skoots_tpu.kernels.dwconv import (
+    dwconv3d_pallas,
+    dwconv3d_pallas_v4,
+    dwconv3d_pallas_v6,
+)
+
+K = 7
+
+
+def xla_dwconv(x, w, b):
+    c = x.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.reshape(K, K, K, 1, c),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        feature_group_count=c,
+    )
+    return out + b
+
+
+SHAPES = [
+    (16, 16, 32, 32),  # g=4: full z-lane packing
+    (16, 16, 16, 64),  # g=2
+    (16, 16, 16, 128),  # g=1: no packing
+    (24, 24, 32, 32),  # non-square block fit
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES, ids=[str(s) for s in SHAPES])
+@pytest.mark.parametrize("kernel", ["v4", "v6", "slab"])
+def test_matches_xla(shape, kernel, rng):
+    xs, ys, zs, c = shape
+    x = jnp.asarray(rng.standard_normal((1, xs, ys, zs, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, K, K, c)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    ref = np.asarray(xla_dwconv(x, w, b))
+    if kernel == "v4":
+        out = dwconv3d_pallas_v4(x, w, b, block=(8, 16), interpret=True)
+    elif kernel == "v6":
+        out = dwconv3d_pallas_v6(x, w, b, block=(8, 16), interpret=True)
+    else:
+        out = dwconv3d_pallas(x, w, b, block=(8, 16), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_batched_and_bias_free(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, K, K, 32)), jnp.float32)
+    ref = np.asarray(xla_dwconv(x, w, jnp.zeros((32,))))
+    out = dwconv3d_pallas_v4(x, w, None, block=(8, 8), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_flax_kernel_layout(rng):
+    """Accepts the flax [k,k,k,1,C] grouped-conv kernel layout unchanged."""
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 32, 32)), jnp.float32)
+    w5 = jnp.asarray(rng.standard_normal((K, K, K, 1, 32)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
+    ref = np.asarray(xla_dwconv(x, w5[:, :, :, 0, :], b))
+    out = dwconv3d_pallas_v4(x, w5, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
