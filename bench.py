@@ -47,6 +47,9 @@ def _run(shape, crop, overlap, repeats) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from skoots_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     _wait_healthy()
 
     from skoots_tpu.config import get_cfg_defaults

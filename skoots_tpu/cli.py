@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--use-cached", action="store_true", dest="use_cached",
                    help="reuse cached phase-1 vector/skeleton buffers")
+    p.add_argument("--exact-embed-walk", action="store_true",
+                   dest="exact_embed_walk",
+                   help="run all N embedding-walk steps (reference "
+                        "semantics) instead of the convergence early exit")
+    p.add_argument("--out-of-core", dest="out_of_core", default=None,
+                   action="store_true",
+                   help="force disk-backed buffers (default: auto over 256^3)")
     p.add_argument("--skeletonize-train-data", type=str, default=None,
                    help="directory of *.labels.tif to precompute GT skeletons for")
     p.add_argument("--downscaleXY", type=float, default=1.0)
@@ -57,6 +64,9 @@ def main(argv=None) -> int:
         level=_LOG_LEVELS.get(args.log, logging.INFO),
         format="[%(asctime)s] %(levelname)s [%(name)s]: %(message)s",
     )
+    from skoots_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.skeletonize_train_data:
         from skoots_tpu.train.generate_skeletons import create_gt_skeletons
@@ -94,6 +104,8 @@ def main(argv=None) -> int:
             use_cached_data=args.use_cached,
             batch=args.batch,
             spatial_shards=args.spatial_shards,
+            embed_exit_fraction=None if args.exact_embed_walk else 1e-3,
+            out_of_core=args.out_of_core,
         )
     return 0
 

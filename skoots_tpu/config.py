@@ -172,6 +172,9 @@ def _default_cfg() -> CfgNode:
     c.TRAIN.VALIDATION_BATCH_SIZE = 1
     c.TRAIN.BACKGROUND_DATA_DIR = []
     c.TRAIN.BACKGROUND_SAMPLE_PER_IMAGE = []
+    # 'zeros' (skoots-tpu default: background teaches semantic->0) or 'ones'
+    # (reference BackgroundTransformFromCfg parity, merged_transform.py:1111)
+    c.TRAIN.BACKGROUND_MASK_MODE = "zeros"
     c.TRAIN.TRAIN_STORE_DATA_ON_GPU = []      # on TPU: keep resident in HBM
     c.TRAIN.VALIDATION_STORE_DATA_ON_GPU = []
     c.TRAIN.BACKGROUND_STORE_DATA_ON_GPU = []

@@ -43,6 +43,7 @@ def make_device_pipeline(
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
+    embed_exit_fraction: float | None = 1e-3,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 6,
     dtype=jnp.bfloat16,
@@ -141,7 +142,8 @@ def make_device_pipeline(
             vtile = jax.lax.dynamic_slice(
                 vec_full, (o[0], o[1], o[2], 0), (*crop, 3)
             ).astype(jnp.float32)
-            emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations)[0]
+            emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
+                                      exit_fraction=embed_exit_fraction)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)
@@ -172,6 +174,7 @@ def make_chunked_pipeline(
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
+    embed_exit_fraction: float | None = 1e-3,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 6,
     tiles_per_dispatch: int = 16,
@@ -270,7 +273,8 @@ def make_chunked_pipeline(
             vtile = jax.lax.dynamic_slice(
                 vec_full, (o[0], o[1], o[2], 0), (*a_crop, 3)
             ).astype(jnp.float32)
-            emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations)[0]
+            emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
+                                      exit_fraction=embed_exit_fraction)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)

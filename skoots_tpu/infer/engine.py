@@ -82,12 +82,14 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float,
     return tile_fn
 
 
-def _make_assign_fn(scale: Sequence[float], n_iter: int, decay: float = 1.0):
+def _make_assign_fn(scale: Sequence[float], n_iter: int, decay: float = 1.0,
+                    exit_fraction: float | None = 1e-3):
     """Phase-3 jitted step: labeled skeleton stays on device; returns ids."""
 
     @jax.jit
     def assign_fn(skeleton_dev: jax.Array, vec_tiles: jax.Array, offsets: jax.Array):
-        emb = vector_to_embedding(jnp.asarray(scale), vec_tiles, n=n_iter, decay=decay)
+        emb = vector_to_embedding(jnp.asarray(scale), vec_tiles, n=n_iter,
+                                  decay=decay, exit_fraction=exit_fraction)
         emb = emb + offsets[:, None, None, None, :].astype(emb.dtype)
         sx, sy, sz = skeleton_dev.shape
         idx = jnp.round(emb).astype(jnp.int32)
@@ -97,6 +99,29 @@ def _make_assign_fn(scale: Sequence[float], n_iter: int, decay: float = 1.0):
         return skeleton_dev[ix, iy, iz]
 
     return assign_fn
+
+
+def _read_tile(volume: np.ndarray, origin, crop, pads) -> np.ndarray:
+    """Extract one padded-coordinate tile straight from the (possibly
+    memmapped) unpadded volume, reflect-padding only the tile edges. Keeps
+    RSS bounded: the whole-volume ``np.pad`` copy never exists."""
+    src, tile_pads = [], []
+    for ax in range(3):
+        start = origin[ax] - pads[ax][0]
+        end = start + crop[ax]
+        dim = volume.shape[ax]
+        lo_pad = max(0, -start)
+        hi_pad = max(0, end - dim)
+        src.append(slice(max(0, start), min(dim, end)))
+        tile_pads.append((lo_pad, hi_pad))
+    tile = np.asarray(volume[tuple(src)])
+    if any(p != (0, 0) for p in tile_pads):
+        tile = np.pad(
+            tile,
+            tile_pads + [(0, 0)] * (volume.ndim - 3),
+            mode="reflect",
+        )
+    return tile
 
 
 def _sweep(
@@ -112,15 +137,12 @@ def _sweep(
     callbacks receiving interior numpy blocks."""
     spatial = volume.shape[:3]
     pads = [_pad_amounts(d, c, o) for d, c, o in zip(spatial, crop, overlap)]
-    padded = np.pad(volume, pads + [(0, 0)] * (volume.ndim - 3), mode="reflect")
-    origins = crop_origins(padded.shape[:3], crop, overlap)
+    padded_shape = tuple(d + p[0] + p[1] for d, p in zip(spatial, pads))
+    origins = crop_origins(padded_shape, crop, overlap)
 
     def gather_batch(batch_origins):
         tiles = np.stack(
-            [
-                padded[o[0]:o[0]+crop[0], o[1]:o[1]+crop[1], o[2]:o[2]+crop[2]]
-                for o in batch_origins
-            ]
+            [_read_tile(volume, o, crop, pads) for o in batch_origins]
         )
         return tiles
 
@@ -181,11 +203,13 @@ def run_inference(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     embed_decay: float = 1.0,
+    embed_exit_fraction: float | None = 1e-3,
     dilation_3d: int = 1,
     dilation_2d: int = 2,
     batch: int = 1,
     spatial_shards: int = 0,
     output_path: Optional[str] = None,
+    out_of_core: Optional[bool] = None,
 ) -> np.ndarray:
     """Segment a volume. Writes ``<image>_instance_mask.tif`` and
     ``<image>_skoots_benchmark.txt`` (reference contract, eval.py:285-310).
@@ -195,7 +219,14 @@ def run_inference(
     devices and XLA exchanges conv halos over ICI instead of re-computing
     overlap bands.
 
-    Returns the instance mask ``[X, Y, Z]`` int32.
+    ``out_of_core`` keeps every full-volume host buffer (phase-1 vectors +
+    skeleton, phase-2 labels, phase-3 instance mask) in disk-backed memmaps
+    so host RSS stays bounded for volumes larger than RAM (the zarr role in
+    the reference, eval.py:101-111). Default: automatic for volumes over
+    256^3.
+
+    Returns the instance mask ``[X, Y, Z]`` int32 (a memmap when
+    out-of-core).
     """
     tracemalloc.start()
     t_start = time.time()
@@ -268,58 +299,86 @@ def run_inference(
     vec_path = stem + "_skoots_vectors.npy"
     skel_path = stem + "_skoots_skeleton.npy"
 
+    if out_of_core is None:
+        out_of_core = x * y * z > 256**3
+
     if use_cached_data and os.path.exists(vec_path) and os.path.exists(skel_path):
         vectors = np.load(vec_path, mmap_mode="r")
         skeleton_u8 = np.load(skel_path, mmap_mode="r")
         bench_start = time.time()
     else:
-        vectors = np.zeros((x, y, z, 3), np.float16)
-        skeleton_u8 = np.zeros((x, y, z), np.uint8)
+        if out_of_core:
+            from skoots_tpu.utils.io import open_outofcore
+
+            vectors = open_outofcore(vec_path, (x, y, z, 3), "float16")
+            skeleton_u8 = open_outofcore(skel_path, (x, y, z), "uint8")
+        else:
+            vectors = np.zeros((x, y, z, 3), np.float16)
+            skeleton_u8 = np.zeros((x, y, z), np.uint8)
         tile_fn = _make_tile_fn(
             model, params, mean, std, prob_threshold, dilation_3d, dilation_2d
         )
         bench_start = time.time()
+        # the phase-1 sweep reads the (possibly memmapped) raw volume tile by
+        # tile; per-tile f32 conversion happens in gather, not whole-volume
         _sweep(
-            volume[..., None].astype(np.float32),
+            volume[..., None],
             [vectors, skeleton_u8[..., None]],
-            lambda t: _expand_skel(tile_fn(jnp.asarray(t))),
+            lambda t: _expand_skel(tile_fn(jnp.asarray(t, jnp.float32))),
             crop,
             ov,
             batch,
             "phase1-unet",
         )
-        np.save(vec_path, vectors)
-        np.save(skel_path, skeleton_u8)
+        if out_of_core:
+            vectors.flush()
+            skeleton_u8.flush()
+        else:
+            np.save(vec_path, vectors)
+            np.save(skel_path, skeleton_u8)
 
     # ---------------------------------------------------------------- phase 2
     log.info("phase 2: flood fill")
-    labeled = efficient_flood_fill(np.asarray(skeleton_u8))
+    if out_of_core:
+        from skoots_tpu.utils.io import open_outofcore
+
+        labels_out = open_outofcore(stem + "_skoots_labels.npy", (x, y, z),
+                                    "int32")
+    else:
+        labels_out = None
+    # smaller CC tiles in out-of-core mode keep host transients bounded
+    cc_crop = (256, 256, 64) if out_of_core else (512, 512, 128)
+    labeled = efficient_flood_fill(skeleton_u8, crop_size=cc_crop,
+                                   out=labels_out)
 
     # ---------------------------------------------------------------- phase 3
     log.info("phase 3: instance assignment")
-    instance_mask = np.zeros((x, y, z), np.int32)
+    if out_of_core:
+        from skoots_tpu.utils.io import open_outofcore
+
+        instance_mask = open_outofcore(
+            stem + "_skoots_instance.npy", (x, y, z), "int32"
+        )
+    else:
+        instance_mask = np.zeros((x, y, z), np.int32)
     a_crop = tuple(min(c, _round4(d)) for c, d in zip(assign_crop_size, (x, y, z)))
     a_crop = tuple(max(4, c // 4 * 4) for c in a_crop)
     a_ov = tuple(min(o, c // 4) for o, c in zip(assign_overlap, a_crop))
 
     skeleton_dev = jnp.asarray(labeled)
-    assign = _make_assign_fn(vec_scale, embed_iterations, embed_decay)
+    assign = _make_assign_fn(vec_scale, embed_iterations, embed_decay,
+                             embed_exit_fraction)
 
     pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
-    padded_vec = np.pad(
-        np.asarray(vectors), pads + [(0, 0)], mode="reflect"
-    )
-    origins = crop_origins(padded_vec.shape[:3], a_crop, a_ov)
+    padded_shape = tuple(d + p[0] + p[1] for d, p in zip((x, y, z), pads))
+    origins = crop_origins(padded_shape, a_crop, a_ov)
     for bi in range(0, len(origins), batch):
         batch_origins = origins[bi : bi + batch]
         real = len(batch_origins)
         while len(batch_origins) < batch:
             batch_origins = batch_origins + [batch_origins[-1]]
         tiles = np.stack(
-            [
-                padded_vec[o[0]:o[0]+a_crop[0], o[1]:o[1]+a_crop[1], o[2]:o[2]+a_crop[2]]
-                for o in batch_origins
-            ]
+            [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
         ).astype(np.float32)
         # offsets map padded-tile coords back into unpadded volume coords
         offs = np.asarray(
@@ -342,9 +401,16 @@ def run_inference(
         f.write(f"Memory (current/max): {(cur, peak)}\n\n")
     log.info("segmentation took %.2fs (peak host mem %.1f MB)", dt, peak / 1e6)
 
-    instance_mask, _ = renumber(instance_mask)
+    if out_of_core:
+        from skoots_tpu.ops.flood_fill import renumber_inplace
+
+        renumber_inplace(instance_mask)
+        instance_mask.flush()
+    else:
+        instance_mask, _ = renumber(instance_mask)
+        instance_mask = instance_mask.astype(np.int32)
     out_path = output_path or (stem + "_instance_mask.tif")
-    imsave(out_path, instance_mask.astype(np.int32))
+    imsave(out_path, instance_mask)
     log.info("wrote %s (total %.2fs)", out_path, time.time() - t_start)
     return instance_mask
 

@@ -367,7 +367,7 @@ def dwconv3d_pallas_v4(
     weights: jax.Array,
     bias: jax.Array | None = None,
     block: tuple[int, int] = (8, 8),
-    acols: int = 8,
+    acols: int | None = None,
     interpret: bool = False,
     probe: str | None = None,
 ) -> jax.Array:
@@ -398,6 +398,10 @@ def dwconv3d_pallas_v4(
 
     bx = _fit(xs, block[0])
     by = _fit(ys, block[1])
+    if acols is None:
+        # keep the register-resident accumulator block near 32 vregs:
+        # each column is ceil(zq/8) f32 vregs
+        acols = max(4, 32 // max(zq // 8, 1))
     acols = min(acols, by)
     while by % acols:
         acols -= 1

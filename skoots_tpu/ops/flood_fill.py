@@ -239,6 +239,7 @@ def efficient_flood_fill(
     crop_size: Tuple[int, int, int] = (512, 512, 128),
     max_rounds: int = 64,
     relabel_sequential: bool = False,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Out-of-core connected components with on-device tiles + seam merge.
 
@@ -246,19 +247,25 @@ def efficient_flood_fill(
     (flood_fill.py:13-122) with the per-tile work on the accelerator.
 
     Args:
-        skeleton: ``[X, Y, Z]`` binary (or already >0-labeled) host array.
+        skeleton: ``[X, Y, Z]`` binary (or already >0-labeled) host array
+            (a memmap streams tile by tile — RSS stays bounded).
         crop_size: device tile size.
         relabel_sequential: if True, compact labels to 1..N before returning.
+        out: optional preallocated int32 output (e.g. a disk-backed memmap
+            for out-of-core volumes); written in place.
 
     Returns:
         ``[X, Y, Z]`` int32 labeled array (labels unique per component).
     """
-    skeleton = np.asarray(skeleton)
     spatial = skeleton.shape
     crop = effective_crop_size(spatial, crop_size)
     origins = crop_origins(spatial, crop, (0, 0, 0))
 
-    out = np.zeros(spatial, np.int32)
+    if out is None:
+        out = np.zeros(spatial, np.int32)
+    else:
+        assert out.shape == spatial and out.dtype == np.int32, (
+            out.shape, out.dtype)
     # tile-local labels are raveled indices + 1; offset each tile into a
     # disjoint id range so labels stay globally unique
     tile_span = int(np.prod(crop)) + 1
@@ -267,9 +274,8 @@ def efficient_flood_fill(
     seams_per_axis: List[set] = [set(), set(), set()]
     for t, origin in enumerate(origins):
         sl = tuple(slice(o, o + c) for o, c in zip(origin, crop))
-        tile = label_fn(jnp.asarray(skeleton[sl] > 0))
-        tile = np.asarray(tile)
-        tile = np.where(tile > 0, tile + t * tile_span, 0)
+        tile = np.array(label_fn(jnp.asarray(skeleton[sl] > 0)), np.int32)
+        np.add(tile, t * tile_span, out=tile, where=tile > 0)
         out[sl] = tile
         for ax in range(3):
             if origin[ax] > 0:
@@ -291,10 +297,10 @@ def efficient_flood_fill(
         roots = np.array([uf.find(int(k)) for k in keys], dtype=np.int64)
         changed = keys != roots
         if changed.any():
-            out = remap_labels(out, keys[changed], roots[changed])
+            remap_labels_inplace(out, keys[changed], roots[changed])
 
     if relabel_sequential:
-        out, _ = renumber(out)
+        renumber_inplace(out)
     return out
 
 
@@ -311,6 +317,31 @@ def remap_labels(
     hit = keys[pos] == x.ravel()
     flat = np.where(hit, vals[pos], x.ravel())
     return flat.reshape(x.shape).astype(x.dtype)
+
+
+def remap_labels_inplace(
+    x: np.ndarray, to_replace: np.ndarray, replace_with: np.ndarray,
+    chunk: int = 8,
+) -> None:
+    """Chunked in-place remap along axis 0 — works on disk-backed memmaps
+    without ever materializing a full copy."""
+    for i in range(0, x.shape[0], chunk):
+        blk = np.asarray(x[i : i + chunk])
+        x[i : i + chunk] = remap_labels(blk, to_replace, replace_with)
+
+
+def renumber_inplace(x: np.ndarray, chunk: int = 8) -> int:
+    """Streaming fastremap.renumber equivalent: compact labels to 1..N in
+    place, chunk by chunk (bounded RSS on memmaps). Returns N."""
+    uniq = np.array([], dtype=np.int64)
+    for i in range(0, x.shape[0], chunk):
+        u = np.unique(np.asarray(x[i : i + chunk]))
+        uniq = np.union1d(uniq, u[u != 0])
+    if len(uniq) == 0:
+        return 0
+    vals = np.arange(1, len(uniq) + 1, dtype=np.int64)
+    remap_labels_inplace(x, uniq, vals, chunk=chunk)
+    return int(len(uniq))
 
 
 def renumber(x: np.ndarray) -> Tuple[np.ndarray, Dict[int, int]]:

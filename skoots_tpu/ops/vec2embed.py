@@ -67,11 +67,66 @@ def _vec2embed(scale: jax.Array, vector: jax.Array, n: int, decay: float) -> jax
     return embed
 
 
+@partial(jax.jit, static_argnames=("n", "decay", "exit_fraction"))
+def _vec2embed_early(scale: jax.Array, vector: jax.Array, n: int,
+                     decay: float, exit_fraction: float) -> jax.Array:
+    """N-step walk with convergence early exit: stop when the fraction of
+    voxels whose ROUNDED embedded index still moves drops below
+    ``exit_fraction``. Near-exact for inference fields (thresholding zeroes
+    background vectors and on-skeleton vectors vanish, so stable indices
+    imply near-zero deltas); the walk typically dries up well before N=10
+    (reference eval.py:271-273) and each skipped step saves a whole-volume
+    gather."""
+    spatial = vector.shape[1:-1]
+    d = vector.shape[-1]
+    b = vector.shape[0]
+    mesh = coordinate_mesh(spatial, dtype=jnp.float32)[None]
+    scale = scale.astype(jnp.float32).reshape((1,) + (1,) * len(spatial) + (d,))
+    embed = mesh + vector.astype(jnp.float32) * scale
+    if n <= 1:
+        return embed
+
+    sizes = jnp.asarray(spatial, dtype=jnp.int32)
+    strides = jnp.concatenate(
+        [jnp.cumprod(sizes[::-1])[::-1][1:], jnp.ones((1,), jnp.int32)]
+    )
+    flat_vec = vector.astype(jnp.float32).reshape(b, -1, d)
+    n_vox = flat_vec.shape[1] * b
+    min_moving = jnp.asarray(max(exit_fraction, 0.0) * n_vox, jnp.float32)
+
+    def ravel(e):
+        idx = jnp.clip(
+            jnp.round(e).astype(jnp.int32),
+            0,
+            sizes.reshape((1,) + (1,) * len(spatial) + (d,)) - 1,
+        )
+        return jnp.sum(idx * strides, axis=-1).reshape(b, -1)
+
+    def cond(carry):
+        i, _, _, _, moving = carry
+        return (i < n - 1) & (moving > min_moving)
+
+    def body(carry):
+        i, embed, prev_idx, step, _ = carry
+        step = step * decay
+        delta = jnp.take_along_axis(flat_vec, prev_idx[..., None], axis=1)
+        embed = embed + delta.reshape(embed.shape) * (scale * step)
+        idx = ravel(embed)
+        moving = jnp.sum((idx != prev_idx).astype(jnp.float32))
+        return i + 1, embed, idx, step, moving
+
+    carry = (jnp.int32(0), embed, ravel(embed), jnp.float32(1.0),
+             jnp.float32(n_vox))
+    _, embed, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    return embed
+
+
 def vector_to_embedding(
     scale: jax.Array | tuple,
     vector: jax.Array,
     n: int = 1,
     decay: float = 1.0,
+    exit_fraction: float | None = None,
 ) -> jax.Array:
     """Convert a vector field to spatial embeddings.
 
@@ -81,6 +136,10 @@ def vector_to_embedding(
         n: number of vector applications (>=1). n>1 re-samples the field at the
            rounded embedded coordinate each step.
         decay: per-step magnitude decay for steps 2..n.
+        exit_fraction: if set, stop the walk once the fraction of voxels with
+           a still-moving rounded index drops below it (near-exact for
+           thresholded inference fields; None = exactly n steps, reference
+           semantics).
 
     Returns:
         embeddings of the same shape as ``vector`` (float32).
@@ -91,4 +150,7 @@ def vector_to_embedding(
     assert vector.shape[-1] == scale.shape[0], (
         f"scale dim {scale.shape} mismatches vector channels {vector.shape[-1]}"
     )
+    if exit_fraction is not None and n > 1:
+        return _vec2embed_early(scale, vector, n=int(n), decay=float(decay),
+                                exit_fraction=float(exit_fraction))
     return _vec2embed(scale, vector, n=int(n), decay=float(decay))

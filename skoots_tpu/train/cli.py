@@ -55,8 +55,13 @@ def run_config(cfg_path: str, steps_per_epoch=None) -> None:
     for d, s in zip(cfg.TRAIN.BACKGROUND_DATA_DIR, cfg.TRAIN.BACKGROUND_SAMPLE_PER_IMAGE):
         datasets.append(SkootsDataset(d, cfg, sample_per_image=s, background=True))
     dataset = MultiDataset(datasets)
-    mean, std = datasets[0].mean_std()
-    log.info("dataset: %d samples/epoch, mean=%.3f std=%.3f", len(dataset), mean, std)
+    # reference computes combined stats over raw AND inverted images
+    # (engine.py:188 mean(with_invert=True)) because the invert augmentation
+    # doubles the intensity distribution
+    mean, std = dataset.mean_std(with_invert=True)
+    ceiling = dataset.intensity_ceiling()
+    log.info("dataset: %d samples/epoch, mean=%.3f std=%.3f ceil=%d",
+             len(dataset), mean, std, ceiling)
 
     val_sets = [
         SkootsDataset(d, cfg, sample_per_image=s)
@@ -68,7 +73,7 @@ def run_config(cfg_path: str, steps_per_epoch=None) -> None:
     bsz = cfg.TRAIN.TRAIN_BATCH_SIZE
     steps = steps_per_epoch or max(1, len(dataset) // bsz)
     host_iter = batch_iterator(dataset, bsz, steps, cfg.TRAIN.SEED)
-    augment = make_batch_augment(cfg, mean, std)
+    augment = make_batch_augment(cfg, mean, std, intensity_ceiling=ceiling)
 
     import math
 
@@ -144,6 +149,9 @@ def main(argv=None) -> int:
     if not args.config_file:
         print("usage: skoots-train --config-file cfg.yaml [-b]", file=sys.stderr)
         return 2
+    from skoots_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.batch:
         configs = sorted(glob.glob(os.path.join(args.config_file, "*.yaml")))
         if not configs:

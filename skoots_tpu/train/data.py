@@ -69,6 +69,15 @@ class SkootsDataset:
         self.max_points = cfg.TRAIN.MAX_SKELETON_POINTS
         self.sample_per_image = sample_per_image
         self.background = background
+        # Reference parity knob: BackgroundTransformFromCfg sets
+        # masks = ones_like(image) (merged_transform.py:1111), which makes
+        # the semantic/embed tversky targets ALL-foreground on background
+        # images. skoots-tpu defaults to 'zeros' (background supervises the
+        # semantic head toward 0 — see PARITY.md); set 'ones' for byte-level
+        # reference loss semantics.
+        self.background_mask_mode = cfg.TRAIN.get(
+            "BACKGROUND_MASK_MODE", "zeros"
+        )
         self.records: List[VolumeRecord] = []
 
         for p in paths:
@@ -107,13 +116,42 @@ class SkootsDataset:
         return len(self.records) * self.sample_per_image
 
     # ------------------------------------------------------------- statistics
-    def mean_std(self) -> Tuple[float, float]:
-        """Dataset-wide intensity stats (reference dataloader.py:246-310)."""
-        total, total_sq, n = 0.0, 0.0, 0
+    def moments(self) -> Tuple[int, float, float, float]:
+        """Streaming raw moments ``(n, sum, sum_sq, max)`` over all volumes
+        (the numba ``_sub_sq_sum`` role, reference dataloader.py:21-35)."""
+        total, total_sq, n, mx = 0.0, 0.0, 0, 0.0
         for r in self.records:
             total += float(r.image.sum())
             total_sq += float((r.image.astype(np.float64) ** 2).sum())
             n += r.image.size
+            mx = max(mx, float(r.image.max()))
+        return n, total, total_sq, mx
+
+    def intensity_ceiling(self) -> float:
+        """255 for 8-bit-range data, 65535 for 16-bit (reference hardcodes
+        255 in both the invert stat and augment — documented deviation)."""
+        _, _, _, mx = self.moments()
+        return 255.0 if mx <= 255.0 else 65535.0
+
+    def mean_std(self, with_invert: bool = False) -> Tuple[float, float]:
+        """Dataset-wide intensity stats (reference dataloader.py:246-310,
+        engine.py:188 calls with_invert=True).
+
+        ``with_invert`` folds the inverted copy of every image into the
+        statistics (the invert augmentation doubles the intensity
+        distribution). The reference's own implementation has two bugs —
+        only the last image's inverted sum is counted (dataloader.py:255
+        indent) and the inverted copies are missing from the variance
+        numerator (dataloader.py:614-623) — here both halves are exact,
+        derived from the raw moments: sum(L-x)^2 = N L^2 - 2 L sum(x) +
+        sum(x^2).
+        """
+        n, total, total_sq, mx = self.moments()
+        if with_invert:
+            ceil = 255.0 if mx <= 255.0 else 65535.0
+            total_sq = 2 * total_sq + n * ceil**2 - 2 * ceil * total
+            total = n * ceil  # sum x + sum (L - x)
+            n *= 2
         mean = total / n
         std = max((total_sq / n - mean**2), 1e-8) ** 0.5
         return mean, std
@@ -140,15 +178,21 @@ class SkootsDataset:
         )
         sl = tuple(slice(o, o + p) for o, p in zip(origin, pre))
         image = rec.image[sl]
-        masks = (
-            rec.masks[sl] if rec.masks is not None else np.zeros(pre, np.int32)
+        bg_fill = int(
+            self.background and self.background_mask_mode == "ones"
+            and rec.masks is None
         )
+        if rec.masks is not None:
+            masks = rec.masks[sl]
+        else:
+            masks = np.full(pre, bg_fill, np.int32)
 
         # pad up to the static pre-crop shape (volumes smaller than pre)
         pad = [(0, p - s) for p, s in zip(self.pre, image.shape)]
         if any(p[1] for p in pad):
             image = np.pad(image, pad, mode="reflect")
-            masks = np.pad(masks, pad, mode="constant")
+            masks = np.pad(masks, pad, mode="constant",
+                           constant_values=bg_fill)
 
         # pack + offset skeleton points into pre-crop coordinates
         pts = np.zeros((self.max_points, 3), np.float32)
@@ -198,6 +242,28 @@ class MultiDataset:
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         i = rng.choice(len(self.datasets), p=self.weights)
         return self.datasets[i].sample(rng)
+
+    def intensity_ceiling(self) -> float:
+        return max(d.intensity_ceiling() for d in self.datasets)
+
+    def mean_std(self, with_invert: bool = False) -> Tuple[float, float]:
+        """Combined stats over every member dataset (reference MultiDataset
+        sum/numel/std, dataloader.py:580-623)."""
+        n, total, total_sq, mx = 0, 0.0, 0.0, 0.0
+        for d in self.datasets:
+            dn, dt, dsq, dmx = d.moments()
+            n += dn
+            total += dt
+            total_sq += dsq
+            mx = max(mx, dmx)
+        if with_invert:
+            ceil = 255.0 if mx <= 255.0 else 65535.0
+            total_sq = 2 * total_sq + n * ceil**2 - 2 * ceil * total
+            total = n * ceil
+            n *= 2
+        mean = total / n
+        std = max((total_sq / n - mean**2), 1e-8) ** 0.5
+        return mean, std
 
 
 def batch_iterator(

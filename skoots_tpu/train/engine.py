@@ -153,11 +153,12 @@ def make_train_step(
             state.params, batch, epoch, rngs
         )
         # set per-epoch lr (inject_hyperparams exposes .hyperparams)
+        lr_now = schedule(epoch)
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = schedule(epoch)
+        opt_state.hyperparams["learning_rate"] = lr_now
         updates, new_opt = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["lr"] = opt_state.hyperparams["learning_rate"]
+        metrics["lr"] = lr_now
         return TrainState(step=state.step + 1, params=params, opt_state=new_opt), metrics
 
     if mesh is not None:

@@ -24,17 +24,39 @@ from scipy import ndimage
 from skoots_tpu.utils.io import imread
 
 
-def _medial_points(binary: np.ndarray) -> np.ndarray:
+def _medial_points(binary: np.ndarray, nms_radius: float = 1.5) -> np.ndarray:
     """Medial-axis point cloud of a binary object: EDT ridge (local maxima of
-    the distance transform along any axis-aligned direction), thinned."""
+    the distance transform), thinned by greedy non-maximum suppression.
+
+    The raw ridge keeps every tied plateau voxel and is several voxels thick;
+    suppressing everything within ``nms_radius`` of an accepted point (EDT-
+    descending order, so the most-central voxels win) leaves a near
+    1-voxel-wide chain — the role of the reference's Lee thinning
+    (generate_skeletons.py:138) without skimage."""
     edt = ndimage.distance_transform_edt(binary)
     if edt.max() == 0:
         return np.zeros((0, 3), np.float32)
     footprint = np.ones((3, 3, 3))
     local_max = ndimage.maximum_filter(edt, footprint=footprint)
     ridge = (edt >= local_max - 1e-6) & (edt >= 1.0)
-    pts = np.argwhere(ridge).astype(np.float32)
-    return pts
+    pts = np.argwhere(ridge)
+    if len(pts) <= 1:
+        return pts.astype(np.float32)
+
+    from scipy.spatial import cKDTree
+
+    vals = edt[tuple(pts.T)]
+    order = np.argsort(-vals)
+    tree = cKDTree(pts)
+    alive = np.ones(len(pts), bool)
+    keep = []
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(i)
+        for q in tree.query_ball_point(pts[i], r=nms_radius):
+            alive[q] = False
+    return pts[np.asarray(keep)].astype(np.float32)
 
 
 def _teasar_points(

@@ -86,7 +86,8 @@ def _affine_matrix(angle_deg, shear_deg, scale, center):
     return cmat @ rss @ cinv
 
 
-def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1.0):
+def make_augment(cfg: CfgNode, dataset_mean: float = 0.0,
+                 dataset_std: float = 1.0, intensity_ceiling: float = 255.0):
     """Build the jitted per-sample augmentation fn(rng, sample) -> batch dict.
 
     Output (channels-last, crop-sized):
@@ -101,6 +102,9 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
     grid_shape = tuple(A.ELASTIC_GRID_SHAPE)
     grid_mag = jnp.asarray(A.ELASTIC_GRID_MAGNITUDE, jnp.float32)
     invert_rate = A.get("INVERT_RATE", A.BRIGHTNESS_RATE)
+    # the reference hardcodes 255 (merged_transform.py:610-613); 16-bit data
+    # inverts/clips against its real ceiling here
+    ceil = float(intensity_ceiling)
 
     def geometric_core(rng, sample):
         """Shared spatial+intensity pipeline. ``sample`` may carry an extra
@@ -184,13 +188,13 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
 
         # -------------------------------------------------------- intensity
         f_inv = _bernoulli(keys[9], invert_rate)
-        image = jnp.where(f_inv, 255.0 - image, image)
+        image = jnp.where(f_inv, ceil - image, image)
 
         f_b = _bernoulli(keys[10], A.BRIGHTNESS_RATE)
         bval = jax.random.uniform(
             keys[11], (), minval=A.BRIGHTNESS_RANGE[0], maxval=A.BRIGHTNESS_RANGE[1]
         )
-        image = jnp.clip(image + bval * jnp.where(f_b, 1.0, 0.0), 0.0, 255.0)
+        image = jnp.clip(image + bval * jnp.where(f_b, 1.0, 0.0), 0.0, ceil)
 
         f_c = _bernoulli(keys[12], A.CONTRAST_RATE)
         cval = jax.random.uniform(
@@ -198,7 +202,7 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
         )
         cval = jnp.where(f_c, cval, 1.0)
         m = jnp.mean(image)
-        image = jnp.clip((image - m) * cval + m, 0.0, 255.0)
+        image = jnp.clip((image - m) * cval + m, 0.0, ceil)
 
         f_n = _bernoulli(keys[14], A.NOISE_RATE)
         noise = jax.random.uniform(keys[15], crop) * A.NOISE_GAMMA
@@ -223,9 +227,10 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0, dataset_std: float = 1
     return augment
 
 
-def make_batch_augment(cfg: CfgNode, dataset_mean=0.0, dataset_std=1.0):
+def make_batch_augment(cfg: CfgNode, dataset_mean=0.0, dataset_std=1.0,
+                       intensity_ceiling: float = 255.0):
     """vmapped + jitted augmentation over a stacked sample batch."""
-    aug = make_augment(cfg, dataset_mean, dataset_std)
+    aug = make_augment(cfg, dataset_mean, dataset_std, intensity_ceiling)
 
     @jax.jit
     def batch_aug(rng, samples):

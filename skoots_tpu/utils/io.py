@@ -26,7 +26,9 @@ def imread(path: str) -> np.ndarray:
     """
     ext = os.path.splitext(path)[1].lower()
     if ext in (".npy",):
-        vol = np.load(path)
+        # memmap: .npy inputs stream page-by-page (bounded RSS for volumes
+        # larger than RAM — the out-of-core inference input path)
+        vol = np.load(path, mmap_mode="r")
         return _canon_np(vol)
     if ext in (".h5", ".hdf5"):
         import h5py

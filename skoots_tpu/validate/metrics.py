@@ -76,14 +76,28 @@ def mask_soft_cldice(gt: np.ndarray, pred: np.ndarray, iters: int = 3) -> np.nda
 
     gbb = bboxes(gt, gt_ids)
     pbb = bboxes(pred, pred_ids)
+
+    def bucket(n: int) -> int:
+        # pad crops to power-of-two shape buckets: a volume with hundreds of
+        # instances otherwise mints a fresh XLA program per distinct bbox
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    crit_j = jax.jit(crit)
     for i, j in np.argwhere(inter > 0):
         lo = np.minimum(gbb[gt_ids[i]][0], pbb[pred_ids[j]][0])
         hi = np.maximum(gbb[gt_ids[i]][1], pbb[pred_ids[j]][1])
         sl = tuple(slice(a, b) for a, b in zip(lo, hi))
-        a = (gt[sl] == gt_ids[i]).astype(np.float32)[None, ..., None]
-        b = (pred[sl] == pred_ids[j]).astype(np.float32)[None, ..., None]
+        a = (gt[sl] == gt_ids[i]).astype(np.float32)
+        b = (pred[sl] == pred_ids[j]).astype(np.float32)
+        # zero padding is clDice-neutral (soft skeleton of background is 0)
+        pads = [(0, bucket(n) - n) for n in a.shape]
+        a = np.pad(a, pads)[None, ..., None]
+        b = np.pad(b, pads)[None, ..., None]
         # soft_cldice returns a LOSS (1 - clDice); the table stores the score
-        out[i, j] = 1.0 - float(crit(jnp.asarray(b), jnp.asarray(a)))
+        out[i, j] = 1.0 - float(crit_j(jnp.asarray(b), jnp.asarray(a)))
     return out
 
 

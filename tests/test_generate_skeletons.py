@@ -79,3 +79,52 @@ class TestCalculateSkeletons:
     def test_unknown_method(self):
         with pytest.raises(ValueError):
             calculate_skeletons(np.zeros((4, 4, 4), np.int32), method="lee")
+
+
+class TestMedialThinning:
+    """Round-2 ridge thinning: the medial cloud must be thin (near
+    1-voxel-wide chain), central, and cover the object — the Lee-thinning
+    quality bar (reference generate_skeletons.py:138)."""
+
+    def test_tube_thin_and_central(self):
+        from skoots_tpu.train.generate_skeletons import _medial_points
+
+        vol, (cy, cz) = _tube()
+        pts = _medial_points(vol)
+        length = 64 - 16  # tube axis extent
+        # thin: at most ~2 points per axis voxel (the raw ridge had dozens)
+        assert 5 <= len(pts) <= 2 * length, len(pts)
+        # central: mean radial offset under 1.5 voxels
+        off = np.linalg.norm(pts[:, 1:] - [cy, cz], axis=1)
+        assert off.mean() < 1.5
+        # covers the axis
+        assert pts[:, 0].min() <= 12 and pts[:, 0].max() >= 51
+
+    def test_bake_quality_vs_true_skeletons(self):
+        """Bake targets from the thinned cloud match the true generating
+        polyline on synthetic tubes: every extracted point lies near the
+        GT path and the path is densely covered."""
+        from scipy.spatial import cKDTree
+
+        from skoots_tpu.train.generate_skeletons import calculate_skeletons
+        from skoots_tpu.utils.synthetic import make_tubes
+
+        _, labels, true_skels = make_tubes(shape=(96, 96, 24), n_tubes=3,
+                                           radius=4, seed=3)
+        got = calculate_skeletons(labels, method="medial")
+        for tid, path in true_skels.items():
+            if tid not in got or not len(got[tid]):
+                continue
+            pts = got[tid]
+            inside = path[
+                np.all((path >= 0) & (path < [96, 96, 24]), axis=1)
+            ]
+            own = inside[labels[tuple(inside.astype(int).T)] == tid]
+            if len(own) < 4:
+                continue
+            d_pt_to_path = cKDTree(own).query(pts)[0]
+            # centrality: cloud hugs the generating path
+            assert np.median(d_pt_to_path) < 3.0, np.median(d_pt_to_path)
+            # coverage: the path is within reach of the cloud everywhere
+            d_path_to_pt = cKDTree(pts).query(own)[0]
+            assert d_path_to_pt.max() < 6.0, d_path_to_pt.max()

@@ -86,3 +86,40 @@ class TestUNet:
         cfg.MODEL.ARCHITECTURE = "resnet"
         with pytest.raises(RuntimeError, match="not a valid architecture"):
             cfg_to_model(cfg)
+
+
+class TestUpsample2x:
+    def test_matches_jax_image_resize(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from skoots_tpu.models.unext import upsample_trilinear
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 6, 4, 3)), jnp.float32)
+        want = jax.image.resize(x, (2, 16, 12, 8, 3), method="trilinear")
+        got = upsample_trilinear(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+class TestStemIdentity:
+    def test_dense_1toC_equals_broadcast_dwconv(self, rng):
+        """The StemConv3D fast path's core identity: conv(1->C) ==
+        depthwise-conv(broadcast(x, C)) with the same [k,k,k,1,C] kernel."""
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(rng.standard_normal((1, 12, 12, 8, 1)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 1, 16)), jnp.float32)
+        dense = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        )
+        wide = jnp.broadcast_to(x, (1, 12, 12, 8, 16))
+        dw = jax.lax.conv_general_dilated(
+            wide, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+            feature_group_count=16,
+        )
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(dw),
+                                   atol=1e-5)

@@ -226,3 +226,45 @@ class TestCropper:
     def test_crop_larger_than_volume_clamps(self):
         origins = crop_origins((100, 100, 10), (300, 300, 20), (50, 50, 5))
         assert origins == [(0, 0, 0)]
+
+
+class TestEmbedEarlyExit:
+    """Convergence early exit of the N-step walk (round-2 assign-walk perf,
+    reference eval.py:271-273 runs a fixed N=10)."""
+
+    def test_converged_field_matches_exact(self):
+        import jax.numpy as jnp
+
+        from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+        # attractor at x=8: voxels point toward it, the attractor itself has
+        # a zero vector -> walk truly converges, early exit must be exact
+        shape = (16, 8, 4)
+        vec = np.zeros((1, *shape, 3), np.float32)
+        xs = np.arange(shape[0], dtype=np.float32)
+        vec[0, :, :, :, 0] = ((8.0 - xs) / 4.0).clip(-1, 1)[:, None, None]
+        vec[0, 8, :, :, 0] = 0.0
+        scale = (4.0, 4.0, 4.0)
+        exact = vector_to_embedding(scale, jnp.asarray(vec), n=10)
+        early = vector_to_embedding(scale, jnp.asarray(vec), n=10,
+                                    exit_fraction=0.0)
+        np.testing.assert_allclose(np.asarray(early), np.asarray(exact),
+                                   atol=1e-5)
+
+    def test_nonzero_fraction_close(self):
+        import jax.numpy as jnp
+
+        from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+        rng = np.random.default_rng(0)
+        vec = (rng.random((1, 12, 12, 4, 3), np.float32) - 0.5) * 0.2
+        scale = (6.0, 6.0, 3.0)
+        exact = vector_to_embedding(scale, jnp.asarray(vec), n=10, decay=0.95)
+        early = vector_to_embedding(scale, jnp.asarray(vec), n=10, decay=0.95,
+                                    exit_fraction=1e-3)
+        # rounded gather targets agree almost everywhere
+        agree = np.mean(
+            np.all(np.round(np.asarray(exact)) == np.round(np.asarray(early)),
+                   axis=-1)
+        )
+        assert agree > 0.97, agree

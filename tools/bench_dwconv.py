@@ -63,6 +63,9 @@ def main():
         (1, 128, 128, 64, 32),
         (1, 96, 96, 48, 64),
         (1, 48, 48, 24, 128),
+        (1, 192, 192, 96, 32),
+        (1, 96, 96, 48, 64),
+        (1, 48, 48, 24, 128),
     ]
     argv = sys.argv[1:]
     if argv and argv[0].startswith("--shape"):
@@ -110,6 +113,8 @@ def main():
             "v4_8x16_a16": lambda v: dwconv3d_pallas_v4(
                 v, w, bias, block=(8, 16), acols=16
             ),
+            "v4_auto": lambda v: dwconv3d_pallas_v4(v, w, bias, block=(8, 16)),
+            "v4_8x8_auto": lambda v: dwconv3d_pallas_v4(v, w, bias, block=(8, 8)),
             "v4_16x16_a16": lambda v: dwconv3d_pallas_v4(
                 v, w, bias, block=(16, 16), acols=16
             ),

@@ -30,20 +30,23 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(1), (1, *tile, 1), jnp.bfloat16)
         params = model.init({"params": jax.random.PRNGKey(0)}, x[:, :64, :64, :32])
 
+        n = 4
+
         @jax.jit
-        def fwd(p, v):
-            out = model.apply(p, v, deterministic=True)
-            # feed the output back as the next input's first voxel so repeat
-            # calls can't be elided/overlapped trivially
-            return out
+        def loop(p, v):
+            def body(i, carry):
+                out = model.apply(p, carry, deterministic=True)
+                # dependency feedback so iterations can't be elided
+                return (carry + out[..., :1] * 0).astype(carry.dtype)
+
+            r = jax.lax.fori_loop(0, n, body, v)
+            return r.astype(jnp.float32).mean()
 
         t0 = time.perf_counter()
-        fwd(params, x).block_until_ready()
+        float(loop(params, x))
         compile_s = time.perf_counter() - t0
-        n = 5
         t0 = time.perf_counter()
-        for _ in range(n):
-            fwd(params, x).block_until_ready()
+        float(loop(params, x))
         dt = (time.perf_counter() - t0) / n
         mvox = tile[0] * tile[1] * tile[2] / 1e6
         print(
