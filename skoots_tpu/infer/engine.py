@@ -252,8 +252,22 @@ def run_inference(
     )
     params = restore_params(template, ckpt["params"])
 
-    mean = float(ckpt.get("dataset_mean", volume.mean()))
-    std = float(ckpt.get("dataset_std", volume.std()))
+    def _stream_stats():
+        # chunked fallback stats (a python-level .mean() default argument
+        # would evaluate eagerly and materialize float64 copies of memmaps)
+        n, tot, tot_sq = 0, 0.0, 0.0
+        for i in range(0, volume.shape[0], 16):
+            blk = np.asarray(volume[i : i + 16], np.float64)
+            n += blk.size
+            tot += float(blk.sum())
+            tot_sq += float((blk * blk).sum())
+        m = tot / n
+        return m, max(tot_sq / n - m * m, 1e-8) ** 0.5
+
+    if "dataset_mean" in ckpt and ckpt["dataset_mean"] is not None:
+        mean, std = float(ckpt["dataset_mean"]), float(ckpt["dataset_std"])
+    else:
+        mean, std = _stream_stats()
     vec_scale = tuple(cfg.SKOOTS.VECTOR_SCALING)
 
     if spatial_shards and spatial_shards > 1:

@@ -134,6 +134,46 @@ def _fit(dim: int, want: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, XLA-conv backward. pallas_call has
+# no autodiff rule, so training (the reference trains through Block3D's
+# depthwise conv) needs an explicit VJP. The backward reuses XLA's grouped
+# convolution gradients — exact, and training crops are small.
+
+
+def _xla_dwconv_ref(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    c = x.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.reshape(w.shape[0], w.shape[1], w.shape[2], 1, c),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        feature_group_count=c,
+    )
+    return out + b
+
+
+@jax.custom_vjp
+def dwconv3d(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Depthwise 3D conv, SAME padding: Pallas v4 forward with an exact
+    XLA-gradient backward. ``w`` is ``[k,k,k,C]``, ``b`` ``[C]``."""
+    return dwconv3d_pallas_v4(x, w, b)
+
+
+def _dwconv3d_fwd(x, w, b):
+    return dwconv3d(x, w, b), (x, w, b)
+
+
+def _dwconv3d_bwd(res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(_xla_dwconv_ref, x, w, b)
+    return vjp(g)
+
+
+dwconv3d.defvjp(_dwconv3d_fwd, _dwconv3d_bwd)
+
+
+# --------------------------------------------------------------------------
 # v2: z-slice lane packing with in-kernel dz shifts.
 #
 # Layout: [X, Y, ZQ, G*C] where G = 128//C and packed row q holds z-slices

@@ -91,9 +91,9 @@ class DWConv3D(nn.Module):
             on_tpu = any(d.platform == "tpu" for d in jax.devices())
             impl = "pallas" if on_tpu else "xla"
         if impl == "pallas" and _pallas_dwconv_eligible(x, k):
-            from skoots_tpu.kernels.dwconv import dwconv3d_pallas_v4
+            from skoots_tpu.kernels.dwconv import dwconv3d
 
-            return dwconv3d_pallas_v4(x, kb, bb)
+            return dwconv3d(x, kb[:, :, :, 0, :], bb)
         out = jax.lax.conv_general_dilated(
             x,
             kb,
@@ -141,9 +141,10 @@ class StemConv3D(nn.Module):
         wide = jnp.broadcast_to(x, x.shape[:-1] + (self.dim,))
         if (x.shape[-1] == 1 and impl == "pallas"
                 and _pallas_dwconv_eligible(wide, k)):
-            from skoots_tpu.kernels.dwconv import dwconv3d_pallas_v4
+            from skoots_tpu.kernels.dwconv import dwconv3d
 
-            return dwconv3d_pallas_v4(wide, kb, bb)
+            return dwconv3d(wide, jnp.broadcast_to(
+                kb[:, :, :, 0, :], kb.shape[:3] + (self.dim,)), bb)
         out = jax.lax.conv_general_dilated(
             x,
             kb,

@@ -112,6 +112,17 @@ class SkootsDataset:
         if not self.records:
             raise FileNotFoundError(f"no training volumes found under {paths}")
 
+        # Shrink the static pre-crop to the smallest member volume (never
+        # below the crop itself): padding a small volume out to crop+300
+        # would leave the content in a corner, and the downstream affine —
+        # which rotates about the pre-crop center — would sweep it away
+        # from the (instance-centered) crop2 window.
+        vol_min = np.min([r.image.shape for r in self.records], axis=0)
+        self.pre = tuple(
+            max(c, min(p, int(v)))
+            for p, c, v in zip(self.pre, self.crop, vol_min)
+        )
+
     def __len__(self) -> int:
         return len(self.records) * self.sample_per_image
 

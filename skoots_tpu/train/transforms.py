@@ -162,6 +162,12 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0,
         pts_xy1 = jnp.stack([pts[:, 0], pts[:, 1], jnp.ones_like(pts[:, 0])], -1)
         pts_xy = jnp.einsum("ij,pj->pi", mat, pts_xy1)
         pts = jnp.stack([pts_xy[:, 0], pts_xy[:, 1], pts[:, 2]], -1)
+        # co-transform the crop2 target so the window follows its instance
+        # (the reference leaves _center untransformed, merged_transform.py:564
+        # — for its huge crop1 windows the rotation pivot nearly coincides
+        # with _center, but small volumes drift; documented improvement)
+        c_xy = mat @ jnp.array([center[0], center[1], 1.0])
+        center = jnp.stack([c_xy[0], c_xy[1], center[2]])
 
         # ------------------------------------------------------------ crop2
         w = jnp.asarray(crop, jnp.float32)
