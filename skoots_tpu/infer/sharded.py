@@ -70,14 +70,22 @@ def make_sharded_assign(
     vector_scale: Sequence[float],
     embed_iterations: int = 10,
     spatial_axis: int = 1,
+    label_gather: str = "ring",
 ):
-    """Phase-3 with the vector field sharded over 'space' and the labeled
-    skeleton replicated (the label gather is then a local lookup).
+    """Phase-3 with the vector field sharded over 'space'.
 
     Semantics: the N-step embedding walk samples the vector field across the
     WHOLE volume (XLA inserts the cross-shard gathers for walks that leave a
     shard) rather than clamping to tile bounds — strictly more context than
     the reference's per-tile clamp (eval.py:271-277).
+
+    label_gather:
+        'replicated' — every device holds the full labeled-skeleton volume
+            (simple, but per-device memory = whole volume).
+        'ring' — labels stay X-sharded; shards rotate around the 'space'
+            ring via ppermute and each device picks up the values its
+            embedded indices own. Peak per-device label memory = 2/N of the
+            volume; total ICI traffic equals one all-gather.
     """
     spec = [None] * 5
     spec[spatial_axis] = "space"
@@ -86,21 +94,80 @@ def make_sharded_assign(
     out_spec[spatial_axis] = "space"
     out_sharding = NamedSharding(mesh, P(*out_spec))
     rep = NamedSharding(mesh, P())
+    lab_sharding = NamedSharding(mesh, P("space"))
     scale = jnp.asarray(vector_scale, jnp.float32)
+    n_space = mesh.shape["space"]
+
+    def walk(vec):
+        emb = vector_to_embedding(scale, vec.astype(jnp.float32),
+                                  n=embed_iterations)
+        return emb
+
+    if label_gather == "replicated" or n_space == 1:
+
+        @jax.jit
+        def assign(labels, vec):
+            emb = walk(vec)
+            sx, sy, sz = labels.shape
+            idx = jnp.round(emb).astype(jnp.int32)
+            ix = jnp.clip(idx[..., 0], 0, sx - 1)
+            iy = jnp.clip(idx[..., 1], 0, sy - 1)
+            iz = jnp.clip(idx[..., 2], 0, sz - 1)
+            inst = labels[ix, iy, iz]
+            return jnp.where(jnp.any(vec != 0, axis=-1), inst, 0)
+
+        return jax.jit(
+            assign, in_shardings=(rep, vec_sharding),
+            out_shardings=out_sharding,
+        )
+
+    from jax.experimental.shard_map import shard_map
+
+    def ring_gather(lab_blk, ix, iy, iz, fg):
+        # lab_blk [Xs, Y, Z] (this device's X shard); index blocks are the
+        # device's slice of the (B, X, Y, Z) query volume
+        n = jax.lax.axis_size("space")
+        me = jax.lax.axis_index("space")
+        xs = lab_blk.shape[0]
+        perm = [((i + 1) % n, i) for i in range(n)]
+
+        def body(s, carry):
+            res, blk = carry
+            owner = (me + s) % n
+            lo = owner * xs
+            ok = (ix >= lo) & (ix < lo + xs)
+            vals = blk[jnp.clip(ix - lo, 0, xs - 1), iy, iz]
+            res = jnp.where(ok, vals, res)
+            blk = jax.lax.ppermute(blk, "space", perm)
+            return res, blk
+
+        res = jnp.zeros(ix.shape, lab_blk.dtype)
+        res, _ = jax.lax.fori_loop(0, n, body, (res, lab_blk))
+        return jnp.where(fg, res, 0)
+
+    gather_sharded = shard_map(
+        ring_gather,
+        mesh=mesh,
+        in_specs=(P("space"), P(None, "space"), P(None, "space"),
+                  P(None, "space"), P(None, "space")),
+        out_specs=P(None, "space"),
+        check_rep=False,
+    )
 
     @jax.jit
     def assign(labels, vec):
-        emb = vector_to_embedding(scale, vec.astype(jnp.float32), n=embed_iterations)
-        sx, sy, sz = labels.shape
+        emb = walk(vec)
+        shp = labels.shape
         idx = jnp.round(emb).astype(jnp.int32)
-        ix = jnp.clip(idx[..., 0], 0, sx - 1)
-        iy = jnp.clip(idx[..., 1], 0, sy - 1)
-        iz = jnp.clip(idx[..., 2], 0, sz - 1)
-        inst = labels[ix, iy, iz]
-        return jnp.where(jnp.any(vec != 0, axis=-1), inst, 0)
+        ix = jnp.clip(idx[..., 0], 0, shp[0] - 1)
+        iy = jnp.clip(idx[..., 1], 0, shp[1] - 1)
+        iz = jnp.clip(idx[..., 2], 0, shp[2] - 1)
+        fg = jnp.any(vec != 0, axis=-1)
+        return gather_sharded(labels, ix, iy, iz, fg)
 
     return jax.jit(
-        assign, in_shardings=(rep, vec_sharding), out_shardings=out_sharding
+        assign, in_shardings=(lab_sharding, vec_sharding),
+        out_shardings=out_sharding,
     )
 
 

@@ -89,6 +89,9 @@ class TestOutOfCoreInference:
 
         tracemalloc.start()
         tracemalloc.reset_peak()
+        # other tests in the same process may retain allocations; bound the
+        # DELTA above the pre-existing baseline, not the absolute peak
+        baseline = tracemalloc.get_traced_memory()[0]
         mask = run_inference(
             img_path, ckpt,
             crop_size=(64, 64, 32), overlap=(4, 4, 2),
@@ -102,7 +105,9 @@ class TestOutOfCoreInference:
         assert isinstance(mask, np.memmap)
         # host numpy allocations must stay far below the ~180 MB in-RAM
         # footprint: only tile-sized buffers may exist at once
-        assert peak < 60e6, f"peak host allocations {peak/1e6:.1f} MB"
+        assert peak - baseline < 60e6, (
+            f"peak host allocations {(peak - baseline)/1e6:.1f} MB"
+        )
         for suffix in ("_skoots_vectors.npy", "_skoots_skeleton.npy",
                        "_skoots_labels.npy", "_skoots_instance.npy"):
             assert os.path.exists(str(tmp_path / ("big" + suffix)))

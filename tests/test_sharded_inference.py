@@ -138,6 +138,13 @@ class TestShardedAssign:
         vec = jnp.asarray(rng.random((1, 64, 32, 8, 3), np.float32) * 2 - 1)
         assign = make_sharded_assign(mesh, (8.0, 8.0, 4.0), embed_iterations=3)
         inst_s = np.asarray(assign(labels, shard_volume(vec, mesh)))
+        # ring label gather (X-sharded labels) must agree with replication
+        assign_rep = make_sharded_assign(
+            mesh, (8.0, 8.0, 4.0), embed_iterations=3,
+            label_gather="replicated",
+        )
+        inst_rep = np.asarray(assign_rep(labels, shard_volume(vec, mesh)))
+        np.testing.assert_array_equal(inst_s, inst_rep)
 
         from skoots_tpu.ops.vec2embed import vector_to_embedding
 
