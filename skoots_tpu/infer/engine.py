@@ -96,7 +96,14 @@ def _make_assign_fn(scale: Sequence[float], n_iter: int, decay: float = 1.0,
         ix = jnp.clip(idx[..., 0], 0, sx - 1)
         iy = jnp.clip(idx[..., 1], 0, sy - 1)
         iz = jnp.clip(idx[..., 2], 0, sz - 1)
-        return skeleton_dev[ix, iy, iz]
+        inst = skeleton_dev[ix, iy, iz]
+        # semantic gate: phase 1 zeroes vectors where prob <= threshold;
+        # without this, background voxels sitting inside the DILATED skeleton
+        # halo self-gather its label and every instance grows a fat shell
+        # (matches the device pipeline; the thin-object failure mode the
+        # reference's mito-sized stamps never hit)
+        fg = jnp.any(vec_tiles != 0, axis=-1)
+        return jnp.where(fg, inst, 0)
 
     return assign_fn
 

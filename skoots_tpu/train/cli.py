@@ -57,8 +57,11 @@ def run_config(cfg_path: str, steps_per_epoch=None) -> None:
     dataset = MultiDataset(datasets)
     # reference computes combined stats over raw AND inverted images
     # (engine.py:188 mean(with_invert=True)) because the invert augmentation
-    # doubles the intensity distribution
-    mean, std = dataset.mean_std(with_invert=True)
+    # doubles the intensity distribution; with inversion disabled, raw stats
+    # normalize better
+    invert_rate = cfg.AUGMENTATION.get("INVERT_RATE",
+                                       cfg.AUGMENTATION.BRIGHTNESS_RATE)
+    mean, std = dataset.mean_std(with_invert=invert_rate > 0)
     ceiling = dataset.intensity_ceiling()
     log.info("dataset: %d samples/epoch, mean=%.3f std=%.3f ceil=%d",
              len(dataset), mean, std, ceiling)

@@ -214,7 +214,14 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0,
         noise = jax.random.uniform(keys[15], crop) * A.NOISE_GAMMA
         image = image + noise * jnp.where(f_n, 1.0, 0.0)
 
-        image = (image - dataset_mean) / dataset_std
+        # normalization constants enter via sample['norm'] when present so
+        # different dataset stats reuse one compiled program (jit constants
+        # would mint a fresh multi-minute TPU compile per dataset)
+        norm = sample.get("norm")
+        if norm is not None:
+            image = (image - norm[0]) / norm[1]
+        else:
+            image = (image - dataset_mean) / dataset_std
         return image, masks, aux, pts, ids
 
     def augment(rng: jax.Array, sample: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
@@ -236,12 +243,15 @@ def make_augment(cfg: CfgNode, dataset_mean: float = 0.0,
 def make_batch_augment(cfg: CfgNode, dataset_mean=0.0, dataset_std=1.0,
                        intensity_ceiling: float = 255.0):
     """vmapped + jitted augmentation over a stacked sample batch."""
-    aug = make_augment(cfg, dataset_mean, dataset_std, intensity_ceiling)
+    aug = make_augment(cfg, intensity_ceiling=intensity_ceiling)
 
     @jax.jit
-    def batch_aug(rng, samples):
+    def batch_aug(rng, samples, norm):
         b = samples["image"].shape[0]
         keys = jax.random.split(rng, b)
+        samples = dict(samples)
+        samples["norm"] = jnp.broadcast_to(norm, (b, 2))
         return jax.vmap(aug)(keys, samples)
 
-    return batch_aug
+    norm = jnp.asarray([dataset_mean, dataset_std], jnp.float32)
+    return lambda rng, samples: batch_aug(rng, samples, norm)

@@ -17,9 +17,15 @@ def make_tubes(
     n_tubes: int = 4,
     radius: int = 5,
     seed: int = 101196,
+    min_separation: float | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, np.ndarray]]:
     """Random smooth tubes. Returns (image u8 [X,Y,Z], labels int32 [X,Y,Z],
-    skeletons {id: [M, 3] float32})."""
+    skeletons {id: [M, 3] float32}).
+
+    ``min_separation`` (centerline-to-centerline, voxels) rejects crossing
+    tubes: skeleton-guided segmentation merges interpenetrating instances by
+    construction (their skeleton maps touch), and real EM organelles don't
+    interpenetrate — set it for convergence/accuracy experiments."""
     rng = np.random.default_rng(seed)
     x, y, z = shape
     labels = np.zeros(shape, np.int32)
@@ -28,23 +34,47 @@ def make_tubes(
     xx, yy, zz = np.meshgrid(
         np.arange(x), np.arange(y), np.arange(z), indexing="ij"
     )
+    kept_paths = []
     for tid in range(1, n_tubes + 1):
         # random smooth path along a random principal direction
         n_pts = max(x, y) // 2
         t = np.linspace(0, 1, n_pts)
-        start = rng.uniform([radius + 1] * 3, [x - radius - 1, y - radius - 1, z - 2])
-        end = rng.uniform([radius + 1] * 3, [x - radius - 1, y - radius - 1, z - 2])
-        wig = rng.normal(0, 2.0, (3, 3))
-        path = (
-            start[None, :] * (1 - t[:, None])
-            + end[None, :] * t[:, None]
-            + np.stack(
-                [np.sin(t * np.pi * (k + 1)) for k in range(3)], 1
-            ) @ wig
-        )
-        path[:, 0] = np.clip(path[:, 0], 1, x - 2)
-        path[:, 1] = np.clip(path[:, 1], 1, y - 2)
-        path[:, 2] = np.clip(path[:, 2], 1, z - 2)
+        path = None
+        for _attempt in range(30):
+            start = rng.uniform(
+                [radius + 1] * 3, [x - radius - 1, y - radius - 1, z - 2]
+            )
+            end = rng.uniform(
+                [radius + 1] * 3, [x - radius - 1, y - radius - 1, z - 2]
+            )
+            wig = rng.normal(0, 2.0, (3, 3))
+            cand = (
+                start[None, :] * (1 - t[:, None])
+                + end[None, :] * t[:, None]
+                + np.stack(
+                    [np.sin(t * np.pi * (k + 1)) for k in range(3)], 1
+                ) @ wig
+            )
+            cand[:, 0] = np.clip(cand[:, 0], 1, x - 2)
+            cand[:, 1] = np.clip(cand[:, 1], 1, y - 2)
+            cand[:, 2] = np.clip(cand[:, 2], 1, z - 2)
+            if min_separation is None or not kept_paths:
+                path = cand
+                break
+            d = min(
+                float(
+                    np.sqrt(
+                        ((cand[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+                    ).min()
+                )
+                for p in kept_paths
+            )
+            if d >= min_separation:
+                path = cand
+                break
+        if path is None:
+            continue  # could not place without touching; fewer tubes is fine
+        kept_paths.append(path)
         skeletons[tid] = path.astype(np.float32)
 
         # paint the tube: distance to the polyline under z-anisotropy

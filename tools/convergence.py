@@ -32,14 +32,18 @@ def build_dataset(root: str, n_train: int = 3) -> tuple[str, str]:
     val_dir = os.path.join(root, "val")
     os.makedirs(train_dir, exist_ok=True)
     os.makedirs(val_dir, exist_ok=True)
+    # min_separation: skeleton-guided segmentation merges interpenetrating
+    # instances by construction; real organelles don't interpenetrate
     for i in range(n_train):
         img, labels, skels = make_tubes(
-            shape=(128, 128, 32), n_tubes=5, radius=5, seed=100 + i
+            shape=(128, 128, 32), n_tubes=5, radius=5, seed=100 + i,
+            min_separation=16.0,
         )
         imsave(os.path.join(train_dir, f"vol{i}.tif"), img)
         imsave(os.path.join(train_dir, f"vol{i}.labels.tif"), labels)
         save_skeletons(os.path.join(train_dir, f"vol{i}.skeletons.npz"), skels)
-    img, labels, _ = make_tubes(shape=(128, 128, 32), n_tubes=5, radius=5, seed=999)
+    img, labels, _ = make_tubes(shape=(128, 128, 32), n_tubes=5, radius=5,
+                                seed=999, min_separation=16.0)
     imsave(os.path.join(val_dir, "val.tif"), img)
     imsave(os.path.join(val_dir, "val.labels.tif"), labels)
     return train_dir, val_dir
@@ -77,6 +81,10 @@ def write_cfg(path: str, train_dir: str, save_dir: str, epochs: int) -> None:
             "CROP_WIDTH": 96,
             "CROP_HEIGHT": 96,
             "CROP_DEPTH": 32,
+            # polarity inversion makes the thin-skeleton task ambiguous for
+            # a small model (it can lock onto brightness and anti-predict on
+            # one polarity); the convergence proof trains single-polarity
+            "INVERT_RATE": 0.0,
         },
         "SKOOTS": {"VECTOR_SCALING": [12, 12, 6]},
     }
