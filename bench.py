@@ -80,7 +80,8 @@ def _run(shape, crop, overlap, repeats) -> dict:
         model, shape, crop=crop, overlap=overlap,
         assign_crop=(256, 256, 64),
         embed_iterations=10, cc_rounds=24,
-        cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "6")),
+        cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "128")),
+        cc_jumps_per_round=int(os.environ.get("BENCH_CC_JUMPS", "1")),
         tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "16")),
     )
 

@@ -45,7 +45,8 @@ def make_device_pipeline(
     embed_iterations: int = 10,
     embed_exit_fraction: float | None = 1e-3,
     cc_rounds: int = 32,
-    cc_propagates_per_round: int = 6,
+    cc_propagates_per_round: int = 128,
+    cc_jumps_per_round: int = 1,
     dtype=jnp.bfloat16,
 ):
     """Build the jitted whole-volume pipeline for a fixed volume shape.
@@ -126,6 +127,7 @@ def make_device_pipeline(
         labels = label_components(
             skel_full, max_rounds=cc_rounds,
             propagates_per_round=cc_propagates_per_round,
+            jumps_per_round=cc_jumps_per_round,
         )
 
         # phase 3: iterated embedding walk + instance gather, TILED — the
@@ -176,7 +178,8 @@ def make_chunked_pipeline(
     embed_iterations: int = 10,
     embed_exit_fraction: float | None = 1e-3,
     cc_rounds: int = 32,
-    cc_propagates_per_round: int = 6,
+    cc_propagates_per_round: int = 128,
+    cc_jumps_per_round: int = 1,
     tiles_per_dispatch: int = 16,
     dtype=jnp.bfloat16,
 ):
@@ -252,9 +255,12 @@ def make_chunked_pipeline(
     # minutes)
     from skoots_tpu.ops.flood_fill import make_label_components_stepped
 
+    # propagate-heavy schedule: one jump gather costs ~165 propagate passes
+    # on v5e (see ops/flood_fill.py); poll `changed` every round
     stepped_cc = make_label_components_stepped(
-        (x, y, z), rounds_per_dispatch=4,
+        (x, y, z), rounds_per_dispatch=1,
         propagates_per_round=cc_propagates_per_round,
+        jumps_per_round=cc_jumps_per_round,
     )
 
     # phase-3 tiles can be much larger than forward tiles: the embedding walk
@@ -288,6 +294,22 @@ def make_chunked_pipeline(
         return jax.lax.fori_loop(0, chunk_origins.shape[0], body, inst)
 
     def run(params, volume, mean, std):
+        import os as _os
+        import time as _time
+
+        timing = _os.environ.get("SKOOTS_PHASE_TIMING")
+        t0 = _time.time()
+
+        def mark(tag, *arrs):
+            nonlocal t0
+            if not timing:
+                return
+            for a in arrs:
+                a.block_until_ready()
+            t1 = _time.time()
+            print(f"# phase {tag}: {t1 - t0:.2f}s", flush=True)
+            t0 = t1
+
         vol = prep(volume, mean, std)
         vec_buf = jnp.zeros((px, py, pz, 3), dtype)
         skel_buf = jnp.zeros((px, py, pz), jnp.uint8)
@@ -301,10 +323,12 @@ def make_chunked_pipeline(
             vec_buf, skel_buf = phase1_chunk(
                 params, vol, vec_buf, skel_buf, jnp.asarray(chunk)
             )
+        mark("1-forward", vec_buf, skel_buf)
         del vol
         vec_full, skel_full = trim(vec_buf, skel_buf)
         del vec_buf, skel_buf
         labels = stepped_cc(skel_full, max_rounds=cc_rounds)
+        mark("2-cc", labels)
         del skel_full
 
         inst = jnp.zeros((x, y, z), jnp.int32)
@@ -315,6 +339,7 @@ def make_chunked_pipeline(
                     [chunk, np.repeat(chunk[-1:], g - len(chunk), 0)]
                 )
             inst = assign_chunk(labels, vec_full, inst, jnp.asarray(chunk))
+        mark("3-assign", inst)
         return inst
 
     return run

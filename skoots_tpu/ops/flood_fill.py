@@ -32,13 +32,15 @@ from skoots_tpu.ops.cropper import crop_origins, effective_crop_size
 
 @partial(
     jax.jit,
-    static_argnames=("max_rounds", "connectivity", "propagates_per_round"),
+    static_argnames=("max_rounds", "connectivity", "propagates_per_round",
+                     "jumps_per_round"),
 )
 def label_components(
     binary: jax.Array,
     max_rounds: int = 64,
     connectivity: int = 26,
     propagates_per_round: int = 1,
+    jumps_per_round: int = 2,
 ) -> jax.Array:
     """Label connected components of a 3D binary mask on device.
 
@@ -48,10 +50,14 @@ def label_components(
             squares the reachable distance, so 64 covers any practical volume.
         connectivity: 26 (3^3 window) or 6 (face-adjacent, cross window).
         propagates_per_round: masked 1-hop max-propagations per round before
-            the two pointer-jump gathers. Propagation is streaming
-            (reduce_window) while jumps are random HBM gathers, so >1 trades
-            cheap passes for fewer gather rounds (measured 1.6x end-to-end at
-            512^3 with 3). Each hop stays 26/6-conn — no background bridging.
+            the pointer-jump gathers. Measured on v5e at 512^3: one
+            propagate pass is ~12 ms while one jump GATHER is ~2 s (XLA TPU
+            gather ~67M elem/s) — a jump costs ~165 propagates, so
+            propagate-heavy schedules win. Each hop stays 26/6-conn — no
+            background bridging.
+        jumps_per_round: pointer-jump (path-halving) gathers per round; 0
+            disables jumping entirely (pure label propagation — fastest
+            unless component diameters are huge).
 
     Returns:
         ``[X, Y, Z]`` int32: 0 background, equal values = same component.
@@ -67,10 +73,17 @@ def label_components(
 
     if connectivity == 26:
         def propagate(lab):
-            return jax.lax.reduce_window(
-                lab, jnp.int32(0), jax.lax.max, (3, 3, 3), (1, 1, 1),
-                ((1, 1), (1, 1), (1, 1)),
-            )
+            # separable: max over 3^3 == three 1D maxes (9 element reads per
+            # voxel instead of 27; max is associative so results are equal)
+            for ax in range(3):
+                win = [1, 1, 1]
+                win[ax] = 3
+                pads = tuple((1, 1) if w == 3 else (0, 0) for w in win)
+                lab = jax.lax.reduce_window(
+                    lab, jnp.int32(0), jax.lax.max, tuple(win), (1, 1, 1),
+                    pads,
+                )
+            return lab
     elif connectivity == 6:
         def propagate(lab):
             out = lab
@@ -100,7 +113,8 @@ def label_components(
         new = lab
         for _ in range(propagates_per_round):
             new = jnp.where(fg, propagate(new), 0)
-        new = jump(jump(new))
+        for _ in range(jumps_per_round):
+            new = jump(new)
         return i + 1, new, jnp.any(new != lab)
 
     _, labels, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
@@ -112,6 +126,7 @@ def make_label_components_stepped(
     rounds_per_dispatch: int = 4,
     connectivity: int = 26,
     propagates_per_round: int = 1,
+    jumps_per_round: int = 2,
 ):
     """Connected components split across dispatches.
 
@@ -122,11 +137,13 @@ def make_label_components_stepped(
     for minutes (some execution environments bound single-program wall time).
 
     ``propagates_per_round`` runs that many masked 1-hop max-propagations
-    before each pair of pointer-jump gathers: propagation is streaming
-    (separable reduce_window) while the jumps are random HBM gathers, so
-    trading more propagates for fewer gather rounds wins on gather-bound
-    volumes. Each propagate is still a single 26/6-conn hop — components
-    never bridge background gaps.
+    before ``jumps_per_round`` pointer-jump gathers. Propagation is
+    streaming (separable reduce_window, ~12 ms per pass at 512^3 on v5e)
+    while a jump is a random HBM gather (~2 s at 512^3 — XLA TPU gather is
+    ~67M elem/s), so a jump costs ~165 propagates; propagate-heavy
+    schedules win except for enormous component diameters. Each propagate
+    is still a single 26/6-conn hop — components never bridge background
+    gaps.
 
     Returns ``label(binary, max_rounds) -> labels``.
     """
@@ -144,10 +161,15 @@ def make_label_components_stepped(
     def round_block(fg, labels):
         def propagate(lab):
             if connectivity == 26:
-                nbr = jax.lax.reduce_window(
-                    lab, jnp.int32(0), jax.lax.max, (3, 3, 3), (1, 1, 1),
-                    ((1, 1), (1, 1), (1, 1)),
-                )
+                nbr = lab
+                for ax in range(3):
+                    win = [1, 1, 1]
+                    win[ax] = 3
+                    pads = tuple((1, 1) if w == 3 else (0, 0) for w in win)
+                    nbr = jax.lax.reduce_window(
+                        nbr, jnp.int32(0), jax.lax.max, tuple(win),
+                        (1, 1, 1), pads,
+                    )
             else:
                 nbr = lab
                 for ax in range(3):
@@ -162,12 +184,11 @@ def make_label_components_stepped(
             new = lab
             for _ in range(propagates_per_round):
                 new = propagate(new)
-            flat = new.reshape(-1)
-            tgt = jnp.maximum(new - 1, 0).reshape(-1)
-            new = jnp.where(new > 0, flat[tgt].reshape(new.shape), 0)
-            flat = new.reshape(-1)
-            tgt = jnp.maximum(new - 1, 0).reshape(-1)
-            return jnp.where(new > 0, flat[tgt].reshape(new.shape), 0)
+            for _ in range(jumps_per_round):
+                flat = new.reshape(-1)
+                tgt = jnp.maximum(new - 1, 0).reshape(-1)
+                new = jnp.where(new > 0, flat[tgt].reshape(new.shape), 0)
+            return new
 
         out = labels
         for _ in range(rounds_per_dispatch):

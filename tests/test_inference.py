@@ -153,3 +153,24 @@ class TestTileVsWhole:
             ids, counts = np.unique(inst[labels == gid], return_counts=True)
             dom = counts.max() / counts.sum()
             assert dom > 0.95, f"object {gid} fragmented: {ids}, {counts}"
+
+
+class TestAssignSemanticGate:
+    def test_background_never_inherits_halo_labels(self):
+        """Voxels with zero vectors (prob <= threshold in phase 1) must stay
+        unlabeled even when they sit ON a labeled skeleton voxel — without
+        the gate every thin instance grows a dilated-skeleton-halo shell
+        (round-2 convergence campaign regression)."""
+        import jax.numpy as jnp
+
+        from skoots_tpu.infer.engine import _make_assign_fn
+
+        labels = jnp.zeros((16, 16, 8), jnp.int32).at[4:8, 4:8, 2:5].set(7)
+        vec = jnp.zeros((1, 16, 16, 8, 3), jnp.float32)
+        # one foreground voxel pointing at the labeled region
+        vec = vec.at[0, 12, 12, 3].set(jnp.asarray([-1.0, -1.0, 0.0]))
+        assign = _make_assign_fn((6.0, 6.0, 2.0), n_iter=1)
+        ids = np.asarray(assign(labels, vec, jnp.zeros((1, 3), jnp.float32)))
+        assert ids[0, 12, 12, 3] == 7          # fg voxel assigned
+        assert ids[0, 5, 5, 3] == 0            # on-skeleton bg voxel NOT
+        assert (ids != 0).sum() == 1
