@@ -174,149 +174,25 @@ dwconv3d.defvjp(_dwconv3d_fwd, _dwconv3d_bwd)
 
 
 # --------------------------------------------------------------------------
-# v2: z-slice lane packing with in-kernel dz shifts.
+# v4: z-slice lane packing with in-kernel dz shifts + load-reuse register
+# blocking. THE production kernel (3.4x over XLA at C=32 on v5e).
 #
 # Layout: [X, Y, ZQ, G*C] where G = 128//C and packed row q holds z-slices
-# q*G .. q*G+G-1 — a pure reshape of the padded input, so HBM traffic is 1x
-# (the round-1 packed variant materialized 7 z-shifted HBM copies). The seven
-# dz tap shifts are reconstructed ONCE per tile in VMEM: shifting z by dz
-# moves lane group g to group (g+dz)%G of packed row q+(g+dz)//G, i.e. a lane
-# roll of two row-offset slab views blended by a lane-group mask. After that,
-# every one of the k^3 tap reads is an aligned vreg load at a static (dx, dy)
-# leading-dim offset, and the accumulator is a pure dataflow value Mosaic can
-# keep in registers. fp32 accumulation (VPU FMA is fastest in fp32 on v5e).
-
-
-def _dw_v2_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
-                  k, zq, g, c, rows):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    cp = pltpu.make_async_copy(
-        x_hbm.at[
-            pl.ds(i * bx, bx + k - 1),
-            pl.ds(j * by, by + k - 1),
-            slice(None),
-            slice(None),
-        ],
-        slab,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-
-    lanes = g * c
-    group = jax.lax.broadcasted_iota(
-        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
-    ) // c
-
-    # Precompute the k dz-shifted views of the slab.
-    for dz in range(k):
-        r0 = dz // g
-        r1 = (g - 1 + dz) // g
-
-        def view(r):
-            src = slab[:, :, r : r + zq, :]
-            shift = (-(dz - r * g) * c) % lanes
-            if shift == 0:
-                return src
-            if src.dtype == jnp.bfloat16:
-                # Mosaic lane rotate is 32-bit only; round-trip through f32
-                # (precompute — amortized over all k^3 tap FMAs).
-                return pltpu.roll(src.astype(jnp.float32), shift, 3).astype(
-                    jnp.bfloat16
-                )
-            return pltpu.roll(src, shift, 3)
-
-        if r0 == r1:
-            shifted[dz] = view(r0)
-        else:
-            # groups with (g_idx + dz) // g == r0 come from view(r0)
-            shifted[dz] = jnp.where(
-                group < (r0 + 1) * g - dz, view(r0), view(r1)
-            )
-
-    acc = b_ref[...].astype(jnp.float32) * jnp.ones((bx, by, zq, lanes), jnp.float32)
-    for dx in range(k):
-        for dy in range(k):
-            for dz in range(k):
-                w = w_ref[dx, dy, dz]  # [lanes] f32
-                acc += shifted[dz, dx : dx + bx, dy : dy + by].astype(jnp.float32) * w
-    o_ref[...] = acc.astype(o_ref.dtype)
-
-
-def _dw_v3_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
-                  k, zq, g, c, rows, ycol, chains):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    cp = pltpu.make_async_copy(
-        x_hbm.at[
-            pl.ds(i * bx, bx + k - 1),
-            pl.ds(j * by, by + k - 1),
-            slice(None),
-            slice(None),
-        ],
-        slab,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-
-    lanes = g * c
-    group = jax.lax.broadcasted_iota(
-        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
-    ) // c
-
-    for dz in range(k):
-        r0 = dz // g
-        r1 = (g - 1 + dz) // g
-
-        def view(r):
-            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
-            shift = (-(dz - r * g) * c) % lanes
-            if shift == 0:
-                return src
-            return pltpu.roll(src, shift, 3)
-
-        if r0 == r1:
-            shifted[dz] = view(r0)
-        else:
-            shifted[dz] = jnp.where(group < (r0 + 1) * g - dz, view(r0),
-                                    view(r1))
-
-    taps = [(dx, dy, dz) for dx in range(k) for dy in range(k)
-            for dz in range(k)]
-    bias = b_ref[...]
-
-    def body(t, carry):
-        xi = t // (by // ycol)
-        yi = (t % (by // ycol)) * ycol
-        # `chains` interleaved sequential FMA chains for ILP; the per-column
-        # accumulator (ycol, zq, lanes) stays in vector registers.
-        accs = []
-        for ci in range(chains):
-            sub = taps[ci::chains]
-            dx, dy, dz = sub[0]
-            a = (
-                shifted[dz, xi + dx, pl.ds(yi + dy, ycol)]
-                * w_ref[dx, dy, dz]
-            )
-            for dx, dy, dz in sub[1:]:
-                a += (
-                    shifted[dz, xi + dx, pl.ds(yi + dy, ycol)]
-                    * w_ref[dx, dy, dz]
-                )
-            accs.append(a)
-        while len(accs) > 1:
-            accs = [
-                accs[n] + accs[n + 1] for n in range(0, len(accs) - 1, 2)
-            ] + (accs[-1:] if len(accs) % 2 else [])
-        out = accs[0] + bias
-        o_ref[xi, pl.ds(yi, ycol)] = out.astype(o_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, bx * (by // ycol), body, 0)
+# q*G .. q*G+G-1 — a pure reshape of the padded input (1x HBM traffic). The
+# seven dz tap shifts are reconstructed ONCE per tile in VMEM: shifting z by
+# dz moves lane group g to group (g+dz)%G of packed row q+(g+dz)//G, i.e. a
+# lane roll of two row-offset slab views blended by a lane-group mask. The
+# tap loop then runs per output (x, y) column block with the accumulators in
+# vector registers; each loaded source column feeds up to k accumulators
+# (VMEM loads issue ~1 vreg/cycle vs ~8 FMA vregs/cycle — load reuse is the
+# unlock; see the measured v5e performance model in the repo memory/docs).
+# fp32 accumulation (VPU FMA is fastest in fp32 on v5e).
+#
+# The development ladder (v2 full-array ops -> v3 register columns -> v5
+# wide windows -> v6 flattened contiguous taps) was measured at 14.4 / 13.4
+# / 10.4 / 12.9 ms per Mvox at C=32 respectively and is preserved in git
+# history (see BASELINE.md round-2 notes); v6 is kept below as the best
+# alternative structure.
 
 
 def _dw_v4_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
@@ -481,149 +357,6 @@ def dwconv3d_pallas_v4(
     return out[0] if squeeze else out
 
 
-def _dw_v5_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
-                  k, zq, g, c, rows, acols):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    cp = pltpu.make_async_copy(
-        x_hbm.at[
-            pl.ds(i * bx, bx + k - 1),
-            pl.ds(j * by, by + k - 1),
-            slice(None),
-            slice(None),
-        ],
-        slab,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-
-    lanes = g * c
-    group = jax.lax.broadcasted_iota(
-        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
-    ) // c
-
-    for dz in range(k):
-        r0 = dz // g
-        r1 = (g - 1 + dz) // g
-
-        def view(r):
-            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
-            shift = (-(dz - r * g) * c) % lanes
-            if shift == 0:
-                return src
-            return pltpu.roll(src, shift, 3)
-
-        if r0 == r1:
-            shifted[dz] = view(r0)
-        else:
-            shifted[dz] = jnp.where(group < (r0 + 1) * g - dz, view(r0),
-                                    view(r1))
-
-    bias = b_ref[...]
-    nblk = by // acols
-
-    def body(xi, carry):
-        # one x row; whole-row windows loaded wide, register-sliced per tap.
-        accs = [jnp.zeros((acols, zq, lanes), jnp.float32)
-                for _ in range(nblk)]
-        for dz in range(k):
-            for dx in range(k):
-                wnd = shifted[dz, xi + dx]  # (by+k-1, zq, lanes), one load
-                wb = [
-                    jnp.broadcast_to(w_ref[dx, dy, dz], (zq, lanes))
-                    for dy in range(k)
-                ]
-                for dy in range(k):
-                    for b in range(nblk):
-                        s = jax.lax.slice_in_dim(
-                            wnd, b * acols + dy, b * acols + dy + acols, axis=0
-                        )
-                        accs[b] = accs[b] + s * wb[dy]
-        for b in range(nblk):
-            o_ref[xi, pl.ds(b * acols, acols)] = (accs[b] + bias).astype(
-                o_ref.dtype
-            )
-        return carry
-
-    jax.lax.fori_loop(0, bx, body, 0)
-
-
-def dwconv3d_pallas_v5(
-    x: jax.Array,
-    weights: jax.Array,
-    bias: jax.Array | None = None,
-    block: tuple[int, int] = (8, 8),
-    acols: int = 4,
-    interpret: bool = False,
-) -> jax.Array:
-    """Wide-window register-sliced depthwise 3D conv (SAME padding).
-
-    Same packed layout as v2/v4; per x-row, each (dz, dx) source window is
-    loaded once as a wide op and sliced in registers for the dy taps.
-    Requirements: 128 % C == 0 and Z % (128 // C) == 0.
-    """
-    squeeze = x.ndim == 4
-    if squeeze:
-        x = x[None]
-    bsz, xs, ys, zs, c = x.shape
-    if weights.ndim == 5:
-        weights = weights[:, :, :, 0, :]
-    k = weights.shape[0]
-    half = (k - 1) // 2
-    g = 128 // c
-    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
-    zq = zs // g
-    rows = (g - 1 + k - 1) // g
-    rows = ((zq + rows + 7) // 8) * 8 - zq
-    lanes = g * c
-
-    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
-    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))
-    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
-
-    bx = _fit(xs, block[0])
-    by = _fit(ys, block[1])
-    acols = min(acols, by)
-    while by % acols:
-        acols -= 1
-
-    def one(xi):
-        zback = (zq + rows) * g - zs - half
-        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
-        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
-        out = pl.pallas_call(
-            partial(_dw_v5_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
-                    rows=rows, acols=acols),
-            grid=(xs // bx, ys // by),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
-                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes),
-                           jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20,
-            ),
-            interpret=interpret,
-        )(xpacked, wpacked, bpacked)
-        return out.reshape(xs, ys, zs, c)
-
-    out = jax.vmap(one)(x)
-    return out[0] if squeeze else out
-
-
 def _dw_v6_kernel(x_hbm, w_ref, b_ref, o_ref, slab, shifted, sem, *, bx, by,
                   k, zq, g, c, rows):
     i = pl.program_id(0)
@@ -758,270 +491,3 @@ def dwconv3d_pallas_v6(
     out = jax.vmap(one)(x)
     return out[0] if squeeze else out
 
-
-def dwconv3d_pallas_v3(
-    x: jax.Array,
-    weights: jax.Array,
-    bias: jax.Array | None = None,
-    block: tuple[int, int] = (8, 8),
-    ycol: int = 2,
-    chains: int = 8,
-    interpret: bool = False,
-) -> jax.Array:
-    """Register-blocked z-lane-packed depthwise 3D conv, SAME padding.
-
-    Same layout as v2, but the tap loop runs per output (x, y) column with
-    the column accumulator in vector registers.
-    Requirements: 128 % C == 0 and Z % (128 // C) == 0.
-    """
-    squeeze = x.ndim == 4
-    if squeeze:
-        x = x[None]
-    bsz, xs, ys, zs, c = x.shape
-    if weights.ndim == 5:
-        weights = weights[:, :, :, 0, :]
-    k = weights.shape[0]
-    half = (k - 1) // 2
-    g = 128 // c
-    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
-    zq = zs // g
-    rows = (g - 1 + k - 1) // g
-    rows = ((zq + rows + 7) // 8) * 8 - zq
-    lanes = g * c
-
-    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
-    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))
-    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
-
-    bx = _fit(xs, block[0])
-    by = _fit(ys, block[1])
-    ycol = min(ycol, by)
-    while by % ycol:
-        ycol -= 1
-
-    def one(xi):
-        zback = (zq + rows) * g - zs - half
-        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
-        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
-        out = pl.pallas_call(
-            partial(_dw_v3_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
-                    rows=rows, ycol=ycol, chains=chains),
-            grid=(xs // bx, ys // by),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
-                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes),
-                           jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20,
-            ),
-            interpret=interpret,
-        )(xpacked, wpacked, bpacked)
-        return out.reshape(xs, ys, zs, c)
-
-    out = jax.vmap(one)(x)
-    return out[0] if squeeze else out
-
-
-def dwconv3d_pallas_v2(
-    x: jax.Array,
-    weights: jax.Array,
-    bias: jax.Array | None = None,
-    block: tuple[int, int] = (8, 8),
-    interpret: bool = False,
-) -> jax.Array:
-    """z-slice lane-packed depthwise 3D conv, SAME padding.
-
-    Requirements: 128 % C == 0 and Z % (128 // C) == 0.
-    """
-    squeeze = x.ndim == 4
-    if squeeze:
-        x = x[None]
-    bsz, xs, ys, zs, c = x.shape
-    if weights.ndim == 5:
-        weights = weights[:, :, :, 0, :]
-    k = weights.shape[0]
-    half = (k - 1) // 2
-    g = 128 // c
-    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
-    zq = zs // g
-    rows = (g - 1 + k - 1) // g  # extra packed halo rows below
-    # slab sublane dim must be 8-aligned for VMEM tiling
-    rows = ((zq + rows + 7) // 8) * 8 - zq
-    lanes = g * c
-
-    bias = jnp.zeros((c,), jnp.float32) if bias is None else bias
-    wpacked = jnp.tile(weights.astype(jnp.float32), (1, 1, 1, g))  # [k,k,k,128]
-    bpacked = jnp.tile(bias.astype(jnp.float32), (g,))
-
-    bx = _fit(xs, block[0])
-    by = _fit(ys, block[1])
-
-    def one(xi):
-        # pad: x/y by `half` both sides; z front by `half`, back to fill the
-        # halo rows ((zq + rows) * g total)
-        zback = (zq + rows) * g - zs - half
-        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
-        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
-        out = pl.pallas_call(
-            partial(_dw_v2_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
-                    rows=rows),
-            grid=(xs // bx, ys // by),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((xs, ys, zq, lanes), x.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes), x.dtype),
-                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes), x.dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20,
-            ),
-            interpret=interpret,
-        )(xpacked, wpacked, bpacked)
-        return out.reshape(xs, ys, zs, c)
-
-    out = jax.vmap(one)(x)
-    return out[0] if squeeze else out
-
-
-# --------------------------------------------------------------------------
-# Packed-lane variant: fills all 128 VPU lanes at C < 128 by packing G = 128/C
-# consecutive z-slices into the lane dimension ([X, Y, Z, C] -> [X, Y, Z/G,
-# G*C], a pure reshape). The k z-taps are materialized as k z-shifted copies
-# OUTSIDE the kernel (cheap XLA pads/slices; ~k x HBM traffic, trivial vs the
-# VPU work), so every in-kernel slice lands on unconstrained leading dims.
-
-
-def _dw_packed_kernel(x_hbm, w_ref, b_ref, o_ref, slab, sem, *, bx, by, k, zp,
-                      lanes, acc_dtype=jnp.float32):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    ox = pl.multiple_of(i * bx, 8)
-    oy = pl.multiple_of(j * by, 8)
-    acc = jnp.zeros((bx, by, zp, lanes), acc_dtype)
-
-    for dz in range(k):  # static unroll: DMA one z-shifted copy at a time
-        cp = pltpu.make_async_copy(
-            x_hbm.at[
-                dz,
-                pl.ds(ox, bx + k - 1),
-                pl.ds(oy, by + k - 1),
-                slice(None),
-                slice(None),
-            ],
-            slab,
-            sem,
-        )
-        cp.start()
-        cp.wait()
-
-        # static unroll: every slab read is a compile-time ref slice
-        for dx in range(k):
-            for dy in range(k):
-                w = w_ref[dx, dy, dz]  # [lanes]
-                sub = slab[dx : dx + bx, dy : dy + by]
-                acc = acc + sub.astype(acc_dtype) * w.astype(acc_dtype)
-
-    o_ref[...] = (acc + b_ref[...].astype(acc.dtype)).astype(o_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=("bx", "by", "k", "interpret", "bf16_acc"))
-def _dw_packed_call(x_shifted, wpacked, bpacked, bx, by, k, interpret=False,
-                    bf16_acc=False):
-    _, xs_p, ys_p, zp, lanes = x_shifted.shape
-    xs = xs_p - (k - 1)
-    ys = ys_p - (k - 1)
-    grid = (xs // bx, ys // by)
-    return pl.pallas_call(
-        partial(_dw_packed_kernel, bx=bx, by=by, k=k, zp=zp, lanes=lanes,
-                acc_dtype=jnp.bfloat16 if bf16_acc else jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (bx, by, zp, lanes), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((xs, ys, zp, lanes), x_shifted.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bx + k - 1, by + k - 1, zp, lanes), x_shifted.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(x_shifted, wpacked, bpacked)
-
-
-def dwconv3d_pallas_packed(
-    x: jax.Array,
-    weights: jax.Array,
-    bias: jax.Array | None = None,
-    block: tuple[int, int] = (16, 16),
-    interpret: bool = False,
-    bf16_acc: bool = False,
-) -> jax.Array:
-    """Packed-lane depthwise 3D conv, SAME padding. Requirements:
-    128 % C == 0 and Z % (128 // C) == 0 (else use :func:`dwconv3d_pallas`).
-    """
-    squeeze = x.ndim == 4
-    if squeeze:
-        x = x[None]
-    bsz, xs, ys, zs, c = x.shape
-    if weights.ndim == 5:
-        weights = weights[:, :, :, 0, :]
-    k = weights.shape[0]
-    half = (k - 1) // 2
-    g = 128 // c
-    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
-    zp = zs // g
-    # zp is the sublane dim of VMEM buffers: pad to a multiple of 8 (the
-    # padded packed rows compute garbage that is sliced off afterwards)
-    zp8 = ((zp + 7) // 8) * 8
-
-    bias = jnp.zeros((c,), x.dtype) if bias is None else bias
-    wpacked = jnp.tile(weights, (1, 1, 1, g))  # [k,k,k,128]
-    bpacked = jnp.tile(bias, (g,)).astype(x.dtype)
-
-    bx = _fit(xs, block[0])
-    by = _fit(ys, block[1])
-
-    def one(xi):
-        xp = jnp.pad(xi, ((half, half), (half, half), (half, half), (0, 0)))
-        shifted = jnp.stack(
-            [
-                jnp.pad(
-                    jax.lax.dynamic_slice_in_dim(xp, dz, zs, axis=2).reshape(
-                        xs + k - 1, ys + k - 1, zp, g * c
-                    ),
-                    ((0, 0), (0, 0), (0, zp8 - zp), (0, 0)),
-                )
-                for dz in range(k)
-            ]
-        )  # [k, X+k-1, Y+k-1, zp8, 128]
-        out = _dw_packed_call(shifted, wpacked, bpacked, bx, by, k,
-                              interpret=interpret, bf16_acc=bf16_acc)
-        return out[:, :, :zp].reshape(xs, ys, zs, c)
-
-    out = jax.vmap(one)(x)
-    return out[0] if squeeze else out

@@ -18,11 +18,7 @@ import numpy as np
 
 from skoots_tpu.kernels.dwconv import (
     dwconv3d_pallas,
-    dwconv3d_pallas_packed,
-    dwconv3d_pallas_v2,
-    dwconv3d_pallas_v3,
     dwconv3d_pallas_v4,
-    dwconv3d_pallas_v5,
     dwconv3d_pallas_v6,
 )
 
@@ -82,31 +78,7 @@ def main():
 
         variants = {
             "xla": lambda v: xla_dwconv(v, w, bias),
-            "packed_f32_16x16": lambda v: dwconv3d_pallas_packed(
-                v, w, bias, block=(16, 16)
-            ),
-            "packed_bf16_16x16": lambda v: dwconv3d_pallas_packed(
-                v, w, bias, block=(16, 16), bf16_acc=True
-            ),
-            "packed_bf16_32x32": lambda v: dwconv3d_pallas_packed(
-                v, w, bias, block=(32, 32), bf16_acc=True
-            ),
-            "packed_bf16_8x128": lambda v: dwconv3d_pallas_packed(
-                v, w, bias, block=(8, 128), bf16_acc=True
-            ),
             "slab_16x128": lambda v: dwconv3d_pallas(v, w, bias, block=(16, 128)),
-            "v2_8x8": lambda v: dwconv3d_pallas_v2(v, w, bias, block=(8, 8)),
-            "v2_16x8": lambda v: dwconv3d_pallas_v2(v, w, bias, block=(16, 8)),
-            "v2_8x16": lambda v: dwconv3d_pallas_v2(v, w, bias, block=(8, 16)),
-            "v2_16x16": lambda v: dwconv3d_pallas_v2(v, w, bias, block=(16, 16)),
-            "v3_8x8": lambda v: dwconv3d_pallas_v3(v, w, bias, block=(8, 8)),
-            "v3_8x8_y4": lambda v: dwconv3d_pallas_v3(
-                v, w, bias, block=(8, 8), ycol=4
-            ),
-            "v3_16x16": lambda v: dwconv3d_pallas_v3(v, w, bias, block=(16, 16)),
-            "v3_8x8_c4": lambda v: dwconv3d_pallas_v3(
-                v, w, bias, block=(8, 8), chains=4
-            ),
             "v4_8x8_a8": lambda v: dwconv3d_pallas_v4(
                 v, w, bias, block=(8, 8), acols=8
             ),
@@ -132,11 +104,6 @@ def main():
             ),
             "v4_hoistw": lambda v: dwconv3d_pallas_v4(
                 v, w, bias, block=(8, 16), acols=16, probe="hoistw"
-            ),
-            "v5_8x8": lambda v: dwconv3d_pallas_v5(v, w, bias, block=(8, 8)),
-            "v5_8x16": lambda v: dwconv3d_pallas_v5(v, w, bias, block=(8, 16)),
-            "v5_8x8_a8": lambda v: dwconv3d_pallas_v5(
-                v, w, bias, block=(8, 8), acols=8
             ),
             "v6_8x16": lambda v: dwconv3d_pallas_v6(v, w, bias, block=(8, 16)),
             "v6_8x32": lambda v: dwconv3d_pallas_v6(v, w, bias, block=(8, 32)),
