@@ -34,10 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--use-cached", action="store_true", dest="use_cached",
                    help="reuse cached phase-1 vector/skeleton buffers")
-    p.add_argument("--exact-embed-walk", action="store_true",
-                   dest="exact_embed_walk",
-                   help="run all N embedding-walk steps (reference "
-                        "semantics) instead of the convergence early exit")
+    p.add_argument("--fast-embed-walk", action="store_true",
+                   dest="fast_embed_walk",
+                   help="enable the convergence early exit of the embedding "
+                        "walk (skips steps once <0.1%% of voxels still move; "
+                        "default runs all N steps — reference semantics, "
+                        "eval.py:271-273)")
     p.add_argument("--out-of-core", dest="out_of_core", default=None,
                    action="store_true",
                    help="force disk-backed buffers (default: auto over 256^3)")
@@ -104,7 +106,7 @@ def main(argv=None) -> int:
             use_cached_data=args.use_cached,
             batch=args.batch,
             spatial_shards=args.spatial_shards,
-            embed_exit_fraction=None if args.exact_embed_walk else 1e-3,
+            embed_exit_fraction=1e-3 if args.fast_embed_walk else None,
             out_of_core=args.out_of_core,
         )
     return 0

@@ -43,7 +43,7 @@ def make_device_pipeline(
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
-    embed_exit_fraction: float | None = 1e-3,
+    embed_exit_fraction: float | None = None,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     cc_jumps_per_round: int = 1,
@@ -97,7 +97,9 @@ def make_device_pipeline(
             s5 = skel[None]
             s5 = binary_dilation(s5)
             s5 = binary_dilation_2d(binary_dilation_2d(s5))
+            # bit 0: dilated skeleton; bit 1: semantic foreground (prob > thr)
             skel_bin = (s5[0, ..., 0] > prob_threshold).astype(jnp.uint8)
+            skel_bin = skel_bin | (keep[..., 0].astype(jnp.uint8) << 1)
 
             vec_buf = jax.lax.dynamic_update_slice(
                 vec_buf,
@@ -124,8 +126,9 @@ def make_device_pipeline(
         )
 
         # phase 2: whole-volume connected components, on device, seam-free
+        # (bit 0 of skel_full is the dilated skeleton; bit 1 the semantic mask)
         labels = label_components(
-            skel_full, max_rounds=cc_rounds,
+            skel_full & 1, max_rounds=cc_rounds,
             propagates_per_round=cc_propagates_per_round,
             jumps_per_round=cc_jumps_per_round,
         )
@@ -152,9 +155,11 @@ def make_device_pipeline(
             iy = jnp.clip(idx[..., 1], 0, y - 1)
             iz = jnp.clip(idx[..., 2], 0, z - 1)
             tile_inst = labels[ix, iy, iz]
-            # voxels whose vectors were gated to zero stay background
-            fg = jnp.any(vtile != 0, axis=-1)
-            tile_inst = jnp.where(fg, tile_inst, 0)
+            # semantic gate from the persisted probability decision (bit 1) —
+            # NOT vec!=0, which would zero genuine fg voxels whose stored
+            # vector happens to be exactly zero (instance centers)
+            fg = jax.lax.dynamic_slice(skel_full, (o[0], o[1], o[2]), crop) >> 1
+            tile_inst = jnp.where(fg > 0, tile_inst, 0)
             return jax.lax.dynamic_update_slice(inst_buf, tile_inst, (o[0], o[1], o[2]))
 
         inst = jax.lax.fori_loop(0, a_origins.shape[0], assign_body, inst_buf)
@@ -176,7 +181,7 @@ def make_chunked_pipeline(
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
-    embed_exit_fraction: float | None = 1e-3,
+    embed_exit_fraction: float | None = None,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     cc_jumps_per_round: int = 1,
@@ -227,7 +232,9 @@ def make_chunked_pipeline(
             vec = vec * keep
             s5 = binary_dilation((skel * keep)[None])
             s5 = binary_dilation_2d(binary_dilation_2d(s5))
+            # bit 0: dilated skeleton; bit 1: semantic foreground
             skel_bin = (s5[0, ..., 0] > prob_threshold).astype(jnp.uint8)
+            skel_bin = skel_bin | (keep[..., 0].astype(jnp.uint8) << 1)
             vec_buf = jax.lax.dynamic_update_slice(
                 vec_buf, vec[interior].astype(dtype), (o[0] + ox, o[1] + oy, o[2] + oz, 0)
             )
@@ -272,8 +279,8 @@ def make_chunked_pipeline(
     a_origins = np.asarray(crop_origins((x, y, z), a_crop, (0, 0, 0)), np.int32)
     scale_arr = jnp.asarray(vector_scale, jnp.float32)
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def assign_chunk(labels, vec_full, inst, chunk_origins):
+    @partial(jax.jit, donate_argnums=(3,))
+    def assign_chunk(labels, vec_full, skel_full, inst, chunk_origins):
         def body(i, inst):
             o = chunk_origins[i]
             vtile = jax.lax.dynamic_slice(
@@ -286,9 +293,9 @@ def make_chunked_pipeline(
             ix = jnp.clip(idx[..., 0], 0, x - 1)
             iy = jnp.clip(idx[..., 1], 0, y - 1)
             iz = jnp.clip(idx[..., 2], 0, z - 1)
-            tile_inst = jnp.where(
-                jnp.any(vtile != 0, axis=-1), labels[ix, iy, iz], 0
-            )
+            # semantic gate from the persisted probability decision (bit 1)
+            fg = jax.lax.dynamic_slice(skel_full, (o[0], o[1], o[2]), a_crop) >> 1
+            tile_inst = jnp.where(fg > 0, labels[ix, iy, iz], 0)
             return jax.lax.dynamic_update_slice(inst, tile_inst, (o[0], o[1], o[2]))
 
         return jax.lax.fori_loop(0, chunk_origins.shape[0], body, inst)
@@ -299,15 +306,19 @@ def make_chunked_pipeline(
 
         timing = _os.environ.get("SKOOTS_PHASE_TIMING")
         t0 = _time.time()
+        run.last_phase_s = {}
 
         def mark(tag, *arrs):
+            # phases are strict data dependencies of each other, so the
+            # block_until_ready sync points cost nothing extra; always
+            # record the split (bench.py reports it)
             nonlocal t0
-            if not timing:
-                return
             for a in arrs:
                 a.block_until_ready()
             t1 = _time.time()
-            print(f"# phase {tag}: {t1 - t0:.2f}s", flush=True)
+            run.last_phase_s[tag] = round(t1 - t0, 3)
+            if timing:
+                print(f"# phase {tag}: {t1 - t0:.2f}s", flush=True)
             t0 = t1
 
         vol = prep(volume, mean, std)
@@ -327,9 +338,8 @@ def make_chunked_pipeline(
         del vol
         vec_full, skel_full = trim(vec_buf, skel_buf)
         del vec_buf, skel_buf
-        labels = stepped_cc(skel_full, max_rounds=cc_rounds)
+        labels = stepped_cc(skel_full & 1, max_rounds=cc_rounds)
         mark("2-cc", labels)
-        del skel_full
 
         inst = jnp.zeros((x, y, z), jnp.int32)
         for s in range(0, len(a_origins), g):
@@ -338,7 +348,8 @@ def make_chunked_pipeline(
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], g - len(chunk), 0)]
                 )
-            inst = assign_chunk(labels, vec_full, inst, jnp.asarray(chunk))
+            inst = assign_chunk(labels, vec_full, skel_full, inst,
+                                jnp.asarray(chunk))
         mark("3-assign", inst)
         return inst
 

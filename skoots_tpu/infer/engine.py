@@ -20,8 +20,11 @@ TPU-first differences:
     tile t-1 and slices tile t+1.
   * Flood fill runs on-device per tile with host seam union-find
     (skoots_tpu.ops.flood_fill).
-  * Phase 3 keeps the labeled skeleton resident in HBM; per tile only the
-    embedding gather result returns to host.
+  * Phase 3 is two dispatches per tile: 3a walks the embedding on device and
+    reports the reached bbox (6 scalars to host); 3b gathers instance ids
+    from just that label sub-volume, sliced off the (possibly memmapped)
+    labels array. Device label residency is O(tile), so volume size is
+    bounded by disk, not HBM.
 """
 
 from __future__ import annotations
@@ -38,7 +41,11 @@ import numpy as np
 
 from skoots_tpu.config import CfgNode
 from skoots_tpu.models import cfg_to_model
-from skoots_tpu.ops.cropper import crop_origins
+from skoots_tpu.ops.cropper import (
+    bucketed_crop_size,
+    bucketed_crop_size_down,
+    crop_origins,
+)
 from skoots_tpu.ops.flood_fill import efficient_flood_fill, renumber
 from skoots_tpu.ops.morphology import binary_dilation, binary_dilation_2d
 from skoots_tpu.ops.vec2embed import vector_to_embedding
@@ -57,11 +64,16 @@ def _pad_amounts(dim: int, crop: int, ov: int) -> Tuple[int, int]:
 
 def _make_tile_fn(model, params, mean, std, prob_thr: float,
                   dilation_3d: int = 1, dilation_2d: int = 2):
-    """Phase-1 jitted tile step: [B, X, Y, Z, 1] f32 -> (vec, skel) interiors.
+    """Phase-1 jitted tile step: [B, X, Y, Z, 1] f32 -> interiors of
+    (vectors f16, dilated skeleton u8, semantic foreground u8).
 
     Default dilation stack = reference eval.py:152-157 (one 3D + two 2D);
     the experimental variant uses prob_thr 0.5 and three 2D dilations
-    (reference experimental/eval.py:138-146)."""
+    (reference experimental/eval.py:138-146). The semantic mask (prob >
+    threshold, un-dilated) is persisted so phase 3 can gate assignment on
+    the actual probability decision rather than inferring foreground from
+    vector non-zeroness (a stored float16 vector can be exactly zero on a
+    genuine foreground voxel, e.g. at an instance center)."""
 
     @jax.jit
     def tile_fn(image_tiles: jax.Array):
@@ -77,35 +89,66 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float,
             skel = binary_dilation(skel)
         for _ in range(dilation_2d):
             skel = binary_dilation_2d(skel)
-        return vec.astype(jnp.float16), (skel > prob_thr).astype(jnp.uint8)
+        return (
+            vec.astype(jnp.float16),
+            (skel > prob_thr).astype(jnp.uint8),
+            keep.astype(jnp.uint8),
+        )
 
     return tile_fn
 
 
-def _make_assign_fn(scale: Sequence[float], n_iter: int, decay: float = 1.0,
-                    exit_fraction: float | None = 1e-3):
-    """Phase-3 jitted step: labeled skeleton stays on device; returns ids."""
+def _make_embed_fn(scale: Sequence[float], vol_shape: Tuple[int, int, int],
+                   n_iter: int, decay: float = 1.0,
+                   exit_fraction: float | None = None):
+    """Phase-3a jitted step: walk the embedding, return rounded volume-space
+    indices (clipped) plus their bounding box. The index tensor stays on
+    device between 3a and 3b; only 6 scalars cross to host, which then
+    uploads exactly the label sub-volume the gather will touch — device
+    label residency is O(tile + walked extent), not O(volume)."""
+
+    dims = jnp.asarray(vol_shape, jnp.int32)
 
     @jax.jit
-    def assign_fn(skeleton_dev: jax.Array, vec_tiles: jax.Array, offsets: jax.Array):
-        emb = vector_to_embedding(jnp.asarray(scale), vec_tiles, n=n_iter,
+    def embed_fn(vec_tiles: jax.Array, offsets: jax.Array):
+        emb = vector_to_embedding(jnp.asarray(scale),
+                                  vec_tiles.astype(jnp.float32), n=n_iter,
                                   decay=decay, exit_fraction=exit_fraction)
         emb = emb + offsets[:, None, None, None, :].astype(emb.dtype)
-        sx, sy, sz = skeleton_dev.shape
-        idx = jnp.round(emb).astype(jnp.int32)
-        ix = jnp.clip(idx[..., 0], 0, sx - 1)
-        iy = jnp.clip(idx[..., 1], 0, sy - 1)
-        iz = jnp.clip(idx[..., 2], 0, sz - 1)
-        inst = skeleton_dev[ix, iy, iz]
-        # semantic gate: phase 1 zeroes vectors where prob <= threshold;
-        # without this, background voxels sitting inside the DILATED skeleton
-        # halo self-gather its label and every instance grows a fat shell
-        # (matches the device pipeline; the thin-object failure mode the
-        # reference's mito-sized stamps never hit)
-        fg = jnp.any(vec_tiles != 0, axis=-1)
-        return jnp.where(fg, inst, 0)
+        idx = jnp.clip(jnp.round(emb).astype(jnp.int32), 0, dims - 1)
+        return idx, idx.min(axis=(0, 1, 2, 3)), idx.max(axis=(0, 1, 2, 3))
 
-    return assign_fn
+    return embed_fn
+
+
+@jax.jit
+def _gather_ids(labels_crop: jax.Array, idx: jax.Array, origin: jax.Array,
+                fg: jax.Array) -> jax.Array:
+    """Phase-3b: gather instance ids from a label SUB-volume.
+
+    ``idx`` is already clipped to the label-crop bbox by construction (the
+    bbox came from its min/max); the clip here only guards the bucket
+    padding. The semantic gate keeps dilated-skeleton-halo background
+    voxels from self-gathering a label (reference applies no gate,
+    eval.py:277, but its stamps are fat enough never to hit the failure)."""
+    rel = idx - origin[None, None, None, None, :]
+    dims = jnp.asarray(labels_crop.shape, jnp.int32)
+    rel = jnp.clip(rel, 0, dims - 1)
+    inst = labels_crop[rel[..., 0], rel[..., 1], rel[..., 2]]
+    return jnp.where(fg > 0, inst, 0)
+
+
+def _bucket_bbox(mins, maxs, vol_shape, quantum=(64, 64, 16)):
+    """Round a bbox up to quantized shapes (few distinct compiled gathers)
+    and clamp it inside the volume. Returns (origin, shape) int tuples."""
+    origin, shape = [], []
+    for ax in range(3):
+        lo, hi, dim, q = int(mins[ax]), int(maxs[ax]) + 1, vol_shape[ax], quantum[ax]
+        size = min(dim, ((hi - lo + q - 1) // q) * q)
+        o = max(0, min(lo, dim - size))
+        origin.append(o)
+        shape.append(size)
+    return tuple(origin), tuple(shape)
 
 
 def _read_tile(volume: np.ndarray, origin, crop, pads) -> np.ndarray:
@@ -210,7 +253,7 @@ def run_inference(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     embed_decay: float = 1.0,
-    embed_exit_fraction: float | None = 1e-3,
+    embed_exit_fraction: float | None = None,
     dilation_3d: int = 1,
     dilation_2d: int = 2,
     batch: int = 1,
@@ -247,15 +290,18 @@ def run_inference(
     log.info("loaded %s: shape=%s dtype=%s", image_path, volume.shape, volume.dtype)
 
     model = cfg_to_model(cfg)
-    # bind loaded weights onto a fresh init (shape-checked)
+    # bind loaded weights onto a template pytree; eval_shape gives the
+    # structure without tracing a compile or touching the device (param
+    # shapes are spatial-size independent, so a fixed 16^3 probe works for
+    # every volume)
     import jax.random as jrandom
 
-    small = tuple(min(16, s) for s in (x, y, z))
-    small = tuple(max(4, (s // 4) * 4) for s in small)
-    template = model.init(
-        {"params": jrandom.PRNGKey(0)},
-        jnp.zeros((1, *small, 1), jnp.float32),
-        deterministic=True,
+    template = jax.eval_shape(
+        lambda: model.init(
+            {"params": jrandom.PRNGKey(0)},
+            jnp.zeros((1, 16, 16, 16, 1), jnp.float32),
+            deterministic=True,
+        )
     )
     params = restore_params(template, ckpt["params"])
 
@@ -311,21 +357,29 @@ def run_inference(
         )
         return instance_mask
 
-    crop = tuple(min(c, _round4(d)) for c, d in zip(crop_size, (x, y, z)))
-    crop = tuple(max(4, c // 4 * 4) for c in crop)
+    # canonical tile shapes: small volumes round UP to the bucket ladder
+    # (reflect-padded) instead of minting per-volume shapes, so the
+    # persistent compile cache hits across differently-sized volumes
+    crop = bucketed_crop_size(
+        tuple(max(4, c // 4 * 4) for c in crop_size), (x, y, z)
+    )
     # keep stride >= crop/2: tiny volumes clamp the crop, and carrying the
     # full-size overlap over would explode the tile count
     ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
 
     vec_path = stem + "_skoots_vectors.npy"
     skel_path = stem + "_skoots_skeleton.npy"
+    sem_path = stem + "_skoots_semantic.npy"
 
     if out_of_core is None:
         out_of_core = x * y * z > 256**3
 
-    if use_cached_data and os.path.exists(vec_path) and os.path.exists(skel_path):
+    if use_cached_data and all(
+        os.path.exists(p) for p in (vec_path, skel_path, sem_path)
+    ):
         vectors = np.load(vec_path, mmap_mode="r")
         skeleton_u8 = np.load(skel_path, mmap_mode="r")
+        semantic_u8 = np.load(sem_path, mmap_mode="r")
         bench_start = time.time()
     else:
         if out_of_core:
@@ -333,9 +387,11 @@ def run_inference(
 
             vectors = open_outofcore(vec_path, (x, y, z, 3), "float16")
             skeleton_u8 = open_outofcore(skel_path, (x, y, z), "uint8")
+            semantic_u8 = open_outofcore(sem_path, (x, y, z), "uint8")
         else:
             vectors = np.zeros((x, y, z, 3), np.float16)
             skeleton_u8 = np.zeros((x, y, z), np.uint8)
+            semantic_u8 = np.zeros((x, y, z), np.uint8)
         tile_fn = _make_tile_fn(
             model, params, mean, std, prob_threshold, dilation_3d, dilation_2d
         )
@@ -344,8 +400,8 @@ def run_inference(
         # tile; per-tile f32 conversion happens in gather, not whole-volume
         _sweep(
             volume[..., None],
-            [vectors, skeleton_u8[..., None]],
-            lambda t: _expand_skel(tile_fn(jnp.asarray(t, jnp.float32))),
+            [vectors, skeleton_u8[..., None], semantic_u8[..., None]],
+            lambda t: tile_fn(jnp.asarray(t, jnp.float32)),
             crop,
             ov,
             batch,
@@ -354,9 +410,11 @@ def run_inference(
         if out_of_core:
             vectors.flush()
             skeleton_u8.flush()
+            semantic_u8.flush()
         else:
             np.save(vec_path, vectors)
             np.save(skel_path, skeleton_u8)
+            np.save(sem_path, semantic_u8)
 
     # ---------------------------------------------------------------- phase 2
     log.info("phase 2: flood fill")
@@ -367,8 +425,11 @@ def run_inference(
                                     "int32")
     else:
         labels_out = None
-    # smaller CC tiles in out-of-core mode keep host transients bounded
-    cc_crop = (256, 256, 64) if out_of_core else (512, 512, 128)
+    # smaller CC tiles in out-of-core mode keep host transients bounded;
+    # bucket DOWN for small volumes (CC slices tiles directly)
+    cc_crop = bucketed_crop_size_down(
+        (256, 256, 64) if out_of_core else (512, 512, 128), (x, y, z)
+    )
     labeled = efficient_flood_fill(skeleton_u8, crop_size=cc_crop,
                                    out=labels_out)
 
@@ -382,13 +443,19 @@ def run_inference(
         )
     else:
         instance_mask = np.zeros((x, y, z), np.int32)
-    a_crop = tuple(min(c, _round4(d)) for c, d in zip(assign_crop_size, (x, y, z)))
-    a_crop = tuple(max(4, c // 4 * 4) for c in a_crop)
+    a_crop = bucketed_crop_size(
+        tuple(max(4, c // 4 * 4) for c in assign_crop_size), (x, y, z)
+    )
     a_ov = tuple(min(o, c // 4) for o, c in zip(assign_overlap, a_crop))
 
-    skeleton_dev = jnp.asarray(labeled)
-    assign = _make_assign_fn(vec_scale, embed_iterations, embed_decay,
-                             embed_exit_fraction)
+    # Tile-local label residency: the walk's displacement is bounded, so each
+    # assign step needs only the label bbox its embeddings actually reach —
+    # device memory per step is O(tile), never O(volume). (The reference
+    # indexes a host-RAM-resident labeled tensor per crop, eval.py:245-268;
+    # here phase 3a computes the reached bbox on device, the host slices that
+    # bbox from the labels array/memmap, and phase 3b gathers from it.)
+    embed_fn = _make_embed_fn(vec_scale, (x, y, z), embed_iterations,
+                              embed_decay, embed_exit_fraction)
 
     pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
     padded_shape = tuple(d + p[0] + p[1] for d, p in zip((x, y, z), pads))
@@ -400,13 +467,25 @@ def run_inference(
             batch_origins = batch_origins + [batch_origins[-1]]
         tiles = np.stack(
             [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
-        ).astype(np.float32)
+        )  # stays float16: half the H2D bytes; 3a casts on device
+        fg = np.stack(
+            [_read_tile(semantic_u8, o, a_crop, pads) for o in batch_origins]
+        )
         # offsets map padded-tile coords back into unpadded volume coords
         offs = np.asarray(
             [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],
             np.float32,
         )
-        ids = np.asarray(assign(skeleton_dev, jnp.asarray(tiles), jnp.asarray(offs)))
+        idx, mins, maxs = embed_fn(jnp.asarray(tiles), jnp.asarray(offs))
+        lab_origin, lab_shape = _bucket_bbox(
+            np.asarray(mins), np.asarray(maxs), (x, y, z)
+        )
+        lab_sl = tuple(slice(o, o + s) for o, s in zip(lab_origin, lab_shape))
+        labels_crop = np.ascontiguousarray(labeled[lab_sl])
+        ids = np.asarray(_gather_ids(
+            jnp.asarray(labels_crop), idx,
+            jnp.asarray(lab_origin, jnp.int32), jnp.asarray(fg),
+        ))
         for i, o in enumerate(batch_origins[:real]):
             _write_interior(
                 instance_mask, ids[i], o, a_crop, a_ov, pads, (x, y, z)
@@ -434,11 +513,6 @@ def run_inference(
     imsave(out_path, instance_mask)
     log.info("wrote %s (total %.2fs)", out_path, time.time() - t_start)
     return instance_mask
-
-
-def _expand_skel(res):
-    vec, skel = res
-    return vec, skel  # skel already [B, X, Y, Z, 1] uint8
 
 
 def _round4(d: int) -> int:

@@ -35,6 +35,10 @@ def make_sharded_forward(
 
     Returns ``fwd(params, volume5d, mean, std) -> (vec, skel_u8)`` where
     ``volume5d`` is ``[B, X, Y, Z, 1]`` sharded P(None, 'space') on X.
+    ``skel_u8`` is bit-packed: bit 0 = dilated thresholded skeleton (the CC
+    input), bit 1 = semantic foreground (prob > threshold, un-dilated) — the
+    assign-phase gate uses the actual probability decision, not vector
+    non-zeroness (which misfires on exactly-zero stored vectors).
     """
     spec = [None] * 5
     spec[spatial_axis] = "space"
@@ -49,7 +53,10 @@ def make_sharded_forward(
         vec = out[..., 0:3] * keep
         skel = binary_dilation(out[..., 3:4] * keep)
         skel = binary_dilation_2d(binary_dilation_2d(skel))
-        return vec.astype(jnp.bfloat16), (skel > prob_threshold).astype(jnp.uint8)
+        packed = (skel > prob_threshold).astype(jnp.uint8) | (
+            keep.astype(jnp.uint8) << 1
+        )
+        return vec.astype(jnp.bfloat16), packed
 
     return jax.jit(
         fwd,
@@ -121,7 +128,7 @@ def make_sharded_assign(
             out_shardings=out_sharding,
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def ring_gather(lab_blk, ix, iy, iz, fg):
         # lab_blk [Xs, Y, Z] (this device's X shard); index blocks are the
@@ -151,7 +158,7 @@ def make_sharded_assign(
         in_specs=(P("space"), P(None, "space"), P(None, "space"),
                   P(None, "space"), P(None, "space")),
         out_specs=P(None, "space"),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -179,22 +186,35 @@ def make_sharded_pipeline(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     cc_rounds: int = 32,
-    cc_propagates_per_round: int = 6,
+    cc_propagates_per_round: int = 128,
+    label_gather: str = "ring",
 ):
     """Full volume -> instance labels over the mesh's 'space' axis.
 
     The multi-chip counterpart of
     :func:`skoots_tpu.infer.device_pipeline.make_device_pipeline`: one
     spatially-sharded forward over the whole volume (XLA exchanges conv
-    halos over ICI — no overlap-tile redundancy), on-device connected
-    components of the skeleton map, and a sharded N-step embedding walk with
-    a replicated label gather. Covers all three phases of the reference's
-    eval (/root/reference/skoots/lib/eval.py:126-284) without a host round
-    trip between them.
+    halos over ICI — no overlap-tile redundancy), SPACE-SHARDED connected
+    components of the skeleton map (propagate-only label relaxation: every
+    hop is a reduce_window whose halo exchange rides ICI; no pointer-jump
+    gathers, so labels never replicate), and a sharded N-step embedding walk
+    whose final label lookup rotates the label slabs around the 'space' ring
+    (``label_gather='ring'``, the default) — per-device label residency
+    stays at 2/N of the volume through all three phases
+    (/root/reference/skoots/lib/eval.py:126-284 is the phase contract;
+    /root/reference/skoots/lib/flood_fill.py:13-122 the shard-and-stitch
+    role). ``label_gather='replicated'`` keeps the round-1 behavior (full
+    labels on every device) for A/B comparison.
+
+    Scaling note: the walk itself still has whole-volume gather semantics
+    (cross-shard steps are XLA-inserted collectives over the vector field);
+    for volumes beyond per-device HBM use the host-streaming engine
+    (``infer.engine``), whose phase 3 is O(tile) by construction.
 
     Returns ``run(params, volume [X,Y,Z] np/jnp, mean, std) -> np.int32
     labels [X,Y,Z]`` (labels unique but non-sequential; renumber on host if
-    sequential ids are needed).
+    sequential ids are needed). The jitted stages are exposed as ``run.fwd``,
+    ``run.cc``, ``run.assign`` for sharding inspection and tests.
     """
     x, y, z = volume_shape
     n_space = mesh.shape["space"]
@@ -218,34 +238,100 @@ def make_sharded_pipeline(
             & (jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 1) < y)
             & (jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 2) < z)
         )
+        # propagate-only: pointer jumps are whole-array gathers that would
+        # force label replication across shards; 1-hop max-propagation
+        # partitions into per-shard reduce_windows + ICI halo exchange
         return label_components(
-            jnp.where(inb, skel, 0), max_rounds=cc_rounds,
+            jnp.where(inb, skel & 1, 0), max_rounds=cc_rounds,
             propagates_per_round=cc_propagates_per_round,
+            jumps_per_round=0,
         )
 
-    cc = jax.jit(_cc, in_shardings=vol3, out_shardings=rep)
+    lab_out = rep if label_gather == "replicated" else vol3
+    cc = jax.jit(_cc, in_shardings=vol3, out_shardings=lab_out)
 
-    def _assign(labels, vec):
-        emb = vector_to_embedding(scale, vec.astype(jnp.float32), n=embed_iterations)
+    vec5 = NamedSharding(mesh, P(None, "space", None, None, None))
+    out4 = NamedSharding(mesh, P(None, "space", None, None))
+
+    def _walk_idx(vec):
+        emb = vector_to_embedding(scale, vec.astype(jnp.float32),
+                                  n=embed_iterations)
         idx = jnp.round(emb).astype(jnp.int32)
         # clamp into the REAL region (device_pipeline semantics): walks that
         # leave the volume land on the nearest in-bounds voxel, never the pad
         ix = jnp.clip(idx[..., 0], 0, x - 1)
         iy = jnp.clip(idx[..., 1], 0, y - 1)
         iz = jnp.clip(idx[..., 2], 0, z - 1)
-        inst = labels[ix, iy, iz]
-        return jnp.where(jnp.any(vec != 0, axis=-1), inst, 0)
+        return ix, iy, iz
 
-    vec5 = NamedSharding(mesh, P(None, "space", None, None, None))
-    out4 = NamedSharding(mesh, P(None, "space", None, None))
-    assign = jax.jit(_assign, in_shardings=(rep, vec5), out_shardings=out4)
+    if label_gather == "replicated":
+
+        def _assign(labels, vec, skel):
+            ix, iy, iz = _walk_idx(vec)
+            inst = labels[ix, iy, iz]
+            # semantic gate from the persisted probability decision (bit 1)
+            return jnp.where((skel[None] >> 1) > 0, inst, 0)
+
+        assign = jax.jit(
+            _assign,
+            in_shardings=(lab_out, vec5, NamedSharding(mesh, P("space"))),
+            out_shardings=out4,
+        )
+    else:
+        from jax import shard_map
+
+        xs = px // n_space
+
+        def _ring_gather(lab_blk, ix, iy, iz, fg):
+            # lab_blk [xs, py, pz]: this device's X slab. Rotate the slabs
+            # around the ring; each device keeps the values whose global x
+            # index the visiting slab owns. One full rotation = the traffic
+            # of an all-gather but only 2 slabs resident per device.
+            n = jax.lax.axis_size("space")
+            me = jax.lax.axis_index("space")
+            perm = [((i + 1) % n, i) for i in range(n)]
+
+            def body(s, carry):
+                res, blk = carry
+                owner = (me + s) % n
+                lo = owner * xs
+                ok = (ix >= lo) & (ix < lo + xs)
+                vals = blk[jnp.clip(ix - lo, 0, xs - 1), iy, iz]
+                res = jnp.where(ok, vals, res)
+                blk = jax.lax.ppermute(blk, "space", perm)
+                return res, blk
+
+            res = jnp.zeros(ix.shape, lab_blk.dtype)
+            res, _ = jax.lax.fori_loop(0, n, body, (res, lab_blk))
+            return jnp.where(fg, res, 0)
+
+        gather_sharded = shard_map(
+            _ring_gather,
+            mesh=mesh,
+            in_specs=(P("space"), P(None, "space"), P(None, "space"),
+                      P(None, "space"), P(None, "space")),
+            out_specs=P(None, "space"),
+            check_vma=False,
+        )
+
+        def _assign(labels, vec, skel):
+            ix, iy, iz = _walk_idx(vec)
+            fg = (skel[None] >> 1) > 0
+            return gather_sharded(labels, ix, iy, iz, fg)
+
+        assign = jax.jit(
+            _assign,
+            in_shardings=(lab_out, vec5, NamedSharding(mesh, P("space"))),
+            out_shardings=out4,
+        )
 
     def run(params, volume, mean, std):
         vol = np.pad(np.asarray(volume, np.float32), pads, mode="reflect")
         vol_dev = shard_volume(jnp.asarray(vol)[None, ..., None], mesh)
         vec, skel = fwd(params, vol_dev, jnp.float32(mean), jnp.float32(std))
         labels = cc(skel[0, ..., 0])
-        inst = assign(labels, vec)
+        inst = assign(labels, vec, skel[0, ..., 0])
         return np.asarray(inst[0])[:x, :y, :z]
 
+    run.fwd, run.cc, run.assign = fwd, cc, assign
     return run

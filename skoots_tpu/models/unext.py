@@ -309,12 +309,13 @@ class UNeXT3D(nn.Module):
             return x
 
         x = x.astype(self.dtype)
+        k = self.kernel_size
         if self.in_channels == 1:
-            x = StemConv3D(dims[0], 7, self.dtype, self.dwconv_impl,
+            x = StemConv3D(dims[0], k, self.dtype, self.dwconv_impl,
                            name="stem")(x)
         else:
             x = nn.Conv(
-                dims[0], kernel_size=(7, 7, 7), padding="SAME",
+                dims[0], kernel_size=(k, k, k), padding="SAME",
                 dtype=self.dtype, name="stem",
             )(x)
 

@@ -48,6 +48,69 @@ def effective_crop_size(
     return tuple(min(c, s) for c, s in zip(crop_size, spatial_shape))
 
 
+# Canonical tile ladder: when a volume axis is smaller than the requested
+# crop, the tile size is drawn from this fixed set instead of the exact
+# volume dimension, so programs compiled for one volume are cache hits for
+# every other volume in the same bucket (the reference's warmup compile is
+# amortized per-process, eval.py:121-124; ours is amortized across runs via
+# the persistent compile cache — but only if shapes canonicalize).
+# Consecutive gaps are <= 1.34x so reflect-padding a smaller axis up to its
+# bucket never exceeds the axis length.
+_BUCKETS = (
+    list(range(4, 33, 4))
+    + list(range(40, 65, 8))
+    + list(range(80, 129, 16))
+    + list(range(160, 257, 32))
+    + list(range(320, 513, 64))
+    + list(range(640, 4097, 128))
+)
+
+
+def bucket_up(size: int) -> int:
+    """Smallest canonical tile size >= ``size`` (sizes < 4 pass through)."""
+    if size < 4:
+        return size
+    for b in _BUCKETS:
+        if b >= size:
+            return b
+    return ((size + 127) // 128) * 128
+
+
+def bucket_down(size: int) -> int:
+    """Largest canonical tile size <= ``size`` (sizes < 4 pass through)."""
+    if size < 4:
+        return size
+    prev = _BUCKETS[0]
+    for b in _BUCKETS:
+        if b > size:
+            return prev
+        prev = b
+    return prev
+
+
+def bucketed_crop_size(
+    crop_size: Sequence[int], spatial_shape: Sequence[int]
+) -> Tuple[int, ...]:
+    """Canonical tile size: the requested crop where the volume is large
+    enough, else the volume axis rounded UP to the bucket ladder (the sweep
+    reflect-pads the short axis). Any two volumes whose axes fall in the
+    same buckets reuse the same compiled programs."""
+    return tuple(
+        c if d >= c else bucket_up(d) for c, d in zip(crop_size, spatial_shape)
+    )
+
+
+def bucketed_crop_size_down(
+    crop_size: Sequence[int], spatial_shape: Sequence[int]
+) -> Tuple[int, ...]:
+    """Like :func:`bucketed_crop_size` but rounds short axes DOWN (for
+    consumers that slice tiles directly and cannot exceed the volume)."""
+    return tuple(
+        c if d >= c else bucket_down(d)
+        for c, d in zip(crop_size, spatial_shape)
+    )
+
+
 def get_total_num_crops(
     spatial_shape: Sequence[int],
     crop_size: Sequence[int],

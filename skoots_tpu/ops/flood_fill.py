@@ -255,12 +255,34 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
+@jax.jit
+def _compact_labels(labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Compact converged tile labels (local raveled idx + 1) to 1..N.
+
+    At the :func:`label_components` fixpoint each component's label is the
+    raveled index + 1 of its maximum voxel, so that voxel — and only that
+    voxel — stores its own address ("self-pointing root"). Ranking the roots
+    with a cumsum and gathering the rank at ``label - 1`` renumbers every
+    component in two streaming passes plus one tile-local gather.
+
+    Returns ``(compacted [X,Y,Z] int32, component count scalar)``.
+    """
+    flat = labels.reshape(-1)
+    n = flat.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    roots = flat == iota + 1
+    rank = jnp.cumsum(roots.astype(jnp.int32))
+    comp = jnp.where(flat > 0, rank[jnp.maximum(flat - 1, 0)], 0)
+    return comp.reshape(labels.shape), rank[-1] if n else jnp.int32(0)
+
+
 def efficient_flood_fill(
     skeleton: np.ndarray,
     crop_size: Tuple[int, int, int] = (512, 512, 128),
     max_rounds: int = 64,
     relabel_sequential: bool = False,
     out: np.ndarray | None = None,
+    compact: bool | None = None,
 ) -> np.ndarray:
     """Out-of-core connected components with on-device tiles + seam merge.
 
@@ -274,6 +296,13 @@ def efficient_flood_fill(
         relabel_sequential: if True, compact labels to 1..N before returning.
         out: optional preallocated int32 output (e.g. a disk-backed memmap
             for out-of-core volumes); written in place.
+        compact: per-tile on-device label compaction before offsetting. The
+            fast path offsets tile t by ``t * (prod(crop) + 1)``, which
+            overflows int32 once ``n_tiles * tile_span > 2^31`` (~1290^3 at
+            the out-of-core crop); compaction offsets by the running count of
+            components actually present instead, so int32 holds up to 2^31
+            real instances. ``None`` (default) auto-enables exactly when the
+            fast-path offsets would overflow.
 
     Returns:
         ``[X, Y, Z]`` int32 labeled array (labels unique per component).
@@ -290,13 +319,26 @@ def efficient_flood_fill(
     # tile-local labels are raveled indices + 1; offset each tile into a
     # disjoint id range so labels stay globally unique
     tile_span = int(np.prod(crop)) + 1
+    if compact is None:
+        compact = len(origins) * tile_span > 2**31 - 1
 
     label_fn = jax.jit(partial(label_components, max_rounds=max_rounds))
     seams_per_axis: List[set] = [set(), set(), set()]
+    next_label = 0  # running component count (compact mode only)
     for t, origin in enumerate(origins):
         sl = tuple(slice(o, o + c) for o, c in zip(origin, crop))
-        tile = np.array(label_fn(jnp.asarray(skeleton[sl] > 0)), np.int32)
-        np.add(tile, t * tile_span, out=tile, where=tile > 0)
+        labeled_tile = label_fn(jnp.asarray(skeleton[sl] > 0))
+        if compact:
+            labeled_tile, count = _compact_labels(labeled_tile)
+            tile = np.array(labeled_tile, np.int32)
+            offset = next_label
+            next_label += int(count)
+            assert next_label < 2**31 - 1, "instance count exceeds int32"
+        else:
+            tile = np.array(labeled_tile, np.int32)
+            offset = t * tile_span
+        if offset:
+            np.add(tile, offset, out=tile, where=tile > 0)
         out[sl] = tile
         for ax in range(3):
             if origin[ax] > 0:

@@ -145,8 +145,9 @@ def vector_to_embedding(
         embeddings of the same shape as ``vector`` (float32).
     """
     scale = jnp.asarray(scale)
-    if vector.ndim == 4:  # 2D: [B, X, Y, 2]
-        assert n == 1 and decay == 1.0, "n/decay only valid for 3D vectors"
+    # the N-step walk is dimension-generic: 2D ([B, X, Y, 2]) uses the same
+    # iterated-gather machinery (a superset of the reference's plain 2D
+    # path, vector_to_embedding.py:51-76; n=1 reproduces it exactly)
     assert vector.shape[-1] == scale.shape[0], (
         f"scale dim {scale.shape} mismatches vector channels {vector.shape[-1]}"
     )

@@ -92,6 +92,74 @@ def make_tubes(
     return image, labels, skeletons
 
 
+def make_blobs(
+    shape: Tuple[int, int, int] = (128, 128, 32),
+    n_blobs: int = 12,
+    radius_range: Tuple[int, int] = (6, 14),
+    seed: int = 101196,
+    min_separation: float = 4.0,
+    elongation: float = 2.5,
+) -> Tuple[np.ndarray, np.ndarray, Dict[int, np.ndarray]]:
+    """Mito-like ellipsoidal blobs with random orientation and bumpy radius.
+
+    Unlike :func:`make_tubes`, blobs are compact (low aspect) — the regime
+    where skeletons degenerate toward centroids/short medial segments (the
+    reference's degenerate-object fallback, generate_skeletons.py:148-151).
+    Returns (image u8, labels int32, skeletons {id: [M, 3]}) where each
+    skeleton is the blob's medial segment (its long axis, shrunk to the
+    interior).
+    """
+    rng = np.random.default_rng(seed)
+    x, y, z = shape
+    labels = np.zeros(shape, np.int32)
+    skeletons: Dict[int, np.ndarray] = {}
+    xx, yy, zz = np.meshgrid(
+        np.arange(x), np.arange(y), np.arange(z), indexing="ij"
+    )
+    centers = []
+    tid = 0
+    for _ in range(n_blobs * 8):
+        if tid >= n_blobs:
+            break
+        r = float(rng.uniform(*radius_range))
+        c = rng.uniform(
+            [r + 1, r + 1, max(2.0, r / 3)],
+            [x - r - 1, y - r - 1, z - max(2.0, r / 3)],
+        )
+        if centers and min(
+            np.linalg.norm((c - np.asarray(o[0])) / np.asarray([1, 1, 1]))
+            - r - o[1]
+            for o in centers
+        ) < min_separation:
+            continue
+        centers.append((c, r))
+        tid += 1
+        # random orientation; squash z by the anisotropy factor 3
+        axis = rng.normal(size=3)
+        axis[2] *= 0.3
+        axis /= np.linalg.norm(axis) + 1e-9
+        lon = r * float(rng.uniform(1.2, elongation))
+        d = np.stack([xx - c[0], yy - c[1], (zz - c[2]) * 3.0], -1)
+        along = d @ axis
+        perp2 = (d * d).sum(-1) - along**2
+        bump = 1.0 + 0.25 * np.sin(xx * 0.7 + tid) * np.sin(yy * 0.9 - tid)
+        blob = (along / lon) ** 2 + perp2 / (r * bump) ** 2 <= 1.0
+        labels[blob & (labels == 0)] = tid
+        # medial segment along the long axis (interior 60%)
+        t = np.linspace(-0.6, 0.6, 9)[:, None]
+        pts = c[None, :] + t * lon * (axis * np.asarray([1.0, 1.0, 1 / 3.0]))[None, :]
+        pts[:, 0] = np.clip(pts[:, 0], 1, x - 2)
+        pts[:, 1] = np.clip(pts[:, 1], 1, y - 2)
+        pts[:, 2] = np.clip(pts[:, 2], 1, z - 2)
+        skeletons[tid] = pts.astype(np.float32)
+
+    img = np.full(shape, 40.0)
+    img += (labels > 0) * 120.0
+    img += np.random.default_rng(seed + 1).normal(0, 12.0, shape)
+    image = np.clip(img, 0, 255).astype(np.uint8)
+    return image, labels, skeletons
+
+
 def perfect_prediction(
     labels: np.ndarray,
     skeletons: Dict[int, np.ndarray],

@@ -89,6 +89,148 @@ def ordered_flax_roles(cfg) -> List[Path]:
     return roles
 
 
+_HEAD_KEYWORDS = (
+    ("vector_head", ("vector", "embed")),
+    ("skeleton_head", ("skel",)),
+    ("semantic_head", ("semantic", "prob", "mask")),
+)
+
+
+def role_from_torch_key(key: str, cfg) -> Path | None:
+    """Classify a torch state-dict key by NAME into a flax parameter path.
+
+    Name-based classification is robust to module-REGISTRATION order — the
+    failure mode order-alignment cannot protect against (a bism variant
+    registering e.g. all downsample layers before all stages, the upstream
+    ConvNeXt convention, would silently shift an order-zip). Recognized
+    naming families (upstream-ConvNeXt + bism conventions,
+    /root/reference/skoots/lib/utils.py:17-107 for the constructor surface):
+
+    - ``downsample_layers.0.*`` / ``stem.*`` — the stem conv (a trailing
+      LayerNorm inside the stem Sequential has no flax counterpart and is
+      reported unmapped rather than guessed);
+    - ``downsample_layers.{i>=1}.{0,1}`` — Downsample norm + strided conv;
+    - ``stages.{s}.{b}`` or ``stages.{s}.blocks.{b}`` — ConvNeXt blocks
+      (encoder / bottleneck / decoder split by position);
+    - ``up_stages.{s}.{b}`` / ``decode_stages.{s}.{b}`` — decoder blocks;
+    - ``concat*.{s}.*`` — skip-fusion convs;
+    - top-level ``norm.*`` / ``final_norm.*`` — the final LayerNorm;
+    - ``head*`` / ``out_conv*`` / ``final_conv*`` — the backbone head;
+    - head modules whose names contain vector/embed, skel, semantic/prob —
+      the SpatialEmbedding output convs.
+
+    Returns None for unrecognized keys (the caller falls back to
+    LCS order alignment for those).
+    """
+    k = key
+    for prefix in ("module.", "model.", "_orig_mod."):
+        while k.startswith(prefix):
+            k = k[len(prefix):]
+    if k.startswith("backbone."):
+        k = k[len("backbone."):]
+        in_backbone = True
+    else:
+        in_backbone = None  # unknown: heads match by keyword below
+
+    depths = list(cfg.MODEL.DEPTHS)
+    k_down = len(list(cfg.MODEL.DIMS)) // 2
+    bb = ("params", "backbone")
+    parts = k.split(".")
+    leaf = parts[-1]
+    body = parts[:-1]
+
+    def block_path(stage_name: str, inner: List[str]) -> Path | None:
+        trans = {"dwconv": "dwconv", "norm": "norm", "pwconv1": "pw1",
+                 "pwconv2": "pw2", "pw1": "pw1", "pw2": "pw2"}
+        if leaf == "gamma" and not inner:
+            return bb + (stage_name, "gamma")
+        if len(inner) == 1 and inner[0] in trans:
+            mod = trans[inner[0]]
+            if mod == "norm":
+                return bb + (stage_name, "norm",
+                             "scale" if leaf == "weight" else "bias")
+            return bb + (stage_name, mod,
+                         "kernel" if leaf == "weight" else "bias")
+        return None
+
+    def stage_name_for(s: int, b: int, decoder_attr: bool) -> str | None:
+        if decoder_attr:
+            return f"dec{s}_block{b}" if s < k_down else None
+        if s < k_down:
+            return f"enc{s}_block{b}"
+        if s == k_down:
+            return f"bottleneck_block{b}"
+        if s - k_down - 1 < k_down:
+            return f"dec{s - k_down - 1}_block{b}"
+        return None
+
+    if body and body[0] in ("downsample_layers", "stem", "init_conv"):
+        if body[0] == "downsample_layers":
+            if len(body) < 2 or not body[1].isdigit():
+                return None
+            i = int(body[1])
+            inner = body[2:]
+            if i == 0:  # stem Sequential: [conv, (optional LayerNorm)]
+                if inner in ([], ["0"]):
+                    return bb + ("stem", "kernel" if leaf == "weight" else "bias")
+                return None  # stem norm etc: no flax counterpart
+            if inner and inner[0] in ("0", "norm"):
+                return bb + (f"down{i - 1}", "norm",
+                             "scale" if leaf == "weight" else "bias")
+            if inner and inner[0] in ("1", "conv"):
+                return bb + (f"down{i - 1}", "conv",
+                             "kernel" if leaf == "weight" else "bias")
+            return None
+        # stem.* / init_conv.*
+        inner = body[1:]
+        if inner in ([], ["0"], ["conv"]):
+            return bb + ("stem", "kernel" if leaf == "weight" else "bias")
+        return None
+
+    if body and body[0] in ("stages", "up_stages", "decode_stages",
+                            "dec_stages"):
+        decoder_attr = body[0] != "stages"
+        rest = body[1:]
+        if len(rest) >= 2 and rest[0].isdigit():
+            s = int(rest[0])
+            rest = rest[1:]
+            if rest and rest[0] == "blocks":
+                rest = rest[1:]
+            if rest and rest[0].isdigit():
+                b = int(rest[0])
+                name = stage_name_for(s, b, decoder_attr)
+                if name is None:
+                    return None
+                return block_path(name, rest[1:])
+        return None
+
+    if body and body[0].startswith("concat"):
+        rest = body[1:]
+        if rest and rest[0].isdigit():
+            s = int(rest[0])
+            return bb + (f"concat{s}", "fuse",
+                         "kernel" if leaf == "weight" else "bias")
+        return None
+
+    if body and body[0] in ("norm", "final_norm", "out_norm", "final_layer_norm"):
+        if len(body) == 1:
+            return bb + ("final_norm", "scale" if leaf == "weight" else "bias")
+        return None
+
+    if body and (body[0].startswith("head") or body[0] in
+                 ("out_conv", "final_conv", "out")):
+        if in_backbone is not False:
+            return bb + ("head_conv", "kernel" if leaf == "weight" else "bias")
+        return None
+
+    if in_backbone is not True and body:
+        low = ".".join(body).lower()
+        for head, words in _HEAD_KEYWORDS:
+            if any(w in low for w in words):
+                return ("params", head, "kernel" if leaf == "weight" else "bias")
+    return None
+
+
 def _to_flax_convention(arr: np.ndarray, want_shape: Tuple[int, ...]) -> np.ndarray | None:
     """Re-express a torch tensor in flax convention such that it matches
     ``want_shape``; None if impossible."""
@@ -123,9 +265,18 @@ def _signature(shape: Tuple[int, ...]) -> str:
 
 
 def map_torch_state(params, torch_state: Dict[str, np.ndarray], cfg):
-    """Map torch tensors onto the flax tree by network-order alignment.
+    """Map torch tensors onto the flax tree.
 
-    Returns (new_params, mapped_count, unmapped_torch_keys, unfilled_paths).
+    Two passes:
+    1. NAME-based: every torch key whose name matches a known bism/ConvNeXt
+       naming family (:func:`role_from_torch_key`) maps directly — immune to
+       module-registration-order differences between bism variants.
+    2. ORDER-based fallback: remaining keys and remaining flax roles are
+       zipped in network order (LCS alignment on shape signatures when the
+       sequences differ).
+
+    Every pair is shape-verified before writing. Returns
+    (new_params, mapped_count, unmapped_torch_keys, unfilled_paths).
     """
     import jax
 
@@ -144,35 +295,53 @@ def map_torch_state(params, torch_state: Dict[str, np.ndarray], cfg):
         if np.issubdtype(v.dtype, np.floating)
     ]
 
-    f_sigs = []
     role_leaves = []
     for path in roles:
         kp, leaf = leaf_at(path)
         role_leaves.append((path, kp, leaf))
-        f_sigs.append(_signature(tuple(leaf.shape)))
-    t_sigs = [_signature(tuple(v.shape)) for _, v in t_items]
 
+    updates: Dict[Any, np.ndarray] = {}
+    used = set()
+    filled_paths = set()
+
+    def try_pair(path: Path, kp, leaf, name: str, arr: np.ndarray) -> bool:
+        cand = _to_flax_convention(arr, tuple(leaf.shape))
+        if cand is None:
+            log.warning("shape mismatch at %s <- %s %s", "/".join(path), name,
+                        arr.shape)
+            return False
+        updates[kp] = cand.astype(np.asarray(leaf).dtype)
+        used.add(name)
+        filled_paths.add(path)
+        return True
+
+    # pass 1: name-based
+    path_index = {path: (kp, leaf) for path, kp, leaf in role_leaves}
+    for name, arr in t_items:
+        path = role_from_torch_key(name, cfg)
+        if path is None or path not in path_index or path in filled_paths:
+            continue
+        kp, leaf = path_index[path]
+        try_pair(path, kp, leaf, name, arr)
+
+    # pass 2: order alignment of the leftovers
+    rest_roles = [(path, kp, leaf) for path, kp, leaf in role_leaves
+                  if path not in filled_paths]
+    rest_items = [(k, v) for k, v in t_items if k not in used]
+    f_sigs = [_signature(tuple(leaf.shape)) for _, _, leaf in rest_roles]
+    t_sigs = [_signature(tuple(v.shape)) for _, v in rest_items]
     if f_sigs == t_sigs:
-        pairs = list(zip(range(len(roles)), range(len(t_items))))
+        pairs = list(zip(range(len(rest_roles)), range(len(rest_items))))
     else:  # LCS alignment on signatures
         sm = difflib.SequenceMatcher(a=f_sigs, b=t_sigs, autojunk=False)
         pairs = []
         for op, i1, i2, j1, j2 in sm.get_opcodes():
             if op == "equal":
                 pairs += list(zip(range(i1, i2), range(j1, j2)))
-
-    updates = {}
-    used = set()
     for fi, ti in pairs:
-        path, kp, leaf = role_leaves[fi]
-        name, arr = t_items[ti]
-        cand = _to_flax_convention(arr, tuple(leaf.shape))
-        if cand is None:
-            log.warning("shape mismatch at %s <- %s %s", "/".join(path), name,
-                        arr.shape)
-            continue
-        updates[kp] = cand.astype(np.asarray(leaf).dtype)
-        used.add(name)
+        path, kp, leaf = rest_roles[fi]
+        name, arr = rest_items[ti]
+        try_pair(path, kp, leaf, name, arr)
 
     new_params = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(params),

@@ -175,6 +175,168 @@ class TestTorchTwinParity:
         assert unfilled == []
 
 
+class TestNameBasedMapping:
+    """VERDICT round-2 item 6: real bism may register modules in the
+    upstream-ConvNeXt order (ALL downsample layers first, then one flat
+    stage list spanning encoder+decoder) — pure order-zipping would silently
+    misalign there. The mapper's name-based pass must route every tensor by
+    its state-dict KEY. bism itself is not vendorable offline (no source on
+    this machine, zero egress), so this fixture encodes the upstream
+    convention its modules follow (facebookresearch/ConvNeXt downsample_layers
+    / stages naming, which bism's UNeXT derives from) with per-tensor value
+    tags to verify placement."""
+
+    def _fixture_state(self):
+        """State dict in ConvNeXt registration order, every tensor filled
+        with a unique constant tag. dims [4,8,16,8,4], depths [1]*5, k=3."""
+        entries = [
+            # stem Sequential: conv + channels-first LayerNorm (the LN has no
+            # flax counterpart and must surface as unmapped, never guessed)
+            ("backbone.downsample_layers.0.0.weight", (4, 1, 3, 3, 3)),
+            ("backbone.downsample_layers.0.0.bias", (4,)),
+            ("backbone.downsample_layers.0.1.weight", (4,)),
+            ("backbone.downsample_layers.0.1.bias", (4,)),
+            # downsamples: LN + strided conv
+            ("backbone.downsample_layers.1.0.weight", (4,)),
+            ("backbone.downsample_layers.1.0.bias", (4,)),
+            ("backbone.downsample_layers.1.1.weight", (8, 4, 2, 2, 2)),
+            ("backbone.downsample_layers.1.1.bias", (8,)),
+            ("backbone.downsample_layers.2.0.weight", (8,)),
+            ("backbone.downsample_layers.2.0.bias", (8,)),
+            ("backbone.downsample_layers.2.1.weight", (16, 8, 2, 2, 2)),
+            ("backbone.downsample_layers.2.1.bias", (16,)),
+        ]
+        for s, dim in enumerate([4, 8, 16, 8, 4]):
+            p = f"backbone.stages.{s}.0."
+            entries += [
+                (p + "gamma", (dim,)),
+                (p + "dwconv.weight", (dim, 1, 3, 3, 3)),
+                (p + "dwconv.bias", (dim,)),
+                (p + "norm.weight", (dim,)),
+                (p + "norm.bias", (dim,)),
+                (p + "pwconv1.weight", (4 * dim, dim)),
+                (p + "pwconv1.bias", (4 * dim,)),
+                (p + "pwconv2.weight", (dim, 4 * dim)),
+                (p + "pwconv2.bias", (dim,)),
+            ]
+        entries += [
+            ("backbone.concat.0.conv.weight", (8, 24, 1, 1, 1)),
+            ("backbone.concat.0.conv.bias", (8,)),
+            ("backbone.concat.1.conv.weight", (4, 12, 1, 1, 1)),
+            ("backbone.concat.1.conv.bias", (4,)),
+            ("backbone.norm.weight", (4,)),
+            ("backbone.norm.bias", (4,)),
+            ("backbone.head.weight", (4, 4, 1, 1, 1)),
+            ("backbone.head.bias", (4,)),
+            ("vector_predictor.weight", (3, 4, 1, 1, 1)),
+            ("vector_predictor.bias", (3,)),
+            ("skeleton_predictor.weight", (1, 4, 1, 1, 1)),
+            ("skeleton_predictor.bias", (1,)),
+            ("semantic_predictor.weight", (1, 4, 1, 1, 1)),
+            ("semantic_predictor.bias", (1,)),
+        ]
+        state = {}
+        tags = {}
+        for i, (k, shape) in enumerate(entries):
+            tags[k] = float(i + 1)
+            state[k] = np.full(shape, tags[k], np.float32)
+        return state, tags
+
+    def _cfg(self):
+        from skoots_tpu.config import get_cfg_defaults
+
+        cfg = get_cfg_defaults()
+        cfg.defrost()
+        cfg.MODEL.DIMS = [4, 8, 16, 8, 4]
+        cfg.MODEL.DEPTHS = [1, 1, 1, 1, 1]
+        cfg.MODEL.IN_CHANNELS = 1
+        cfg.MODEL.OUT_CHANNELS = 4
+        cfg.MODEL.KERNEL_SIZE = 3
+        cfg.MODEL.DTYPE = "float32"
+        cfg.freeze()
+        return cfg
+
+    def test_convnext_registration_order_maps_by_name(self):
+        import jax
+
+        from skoots_tpu.models import init_model
+        from skoots_tpu.utils.torch_compat import map_torch_state
+
+        cfg = self._cfg()
+        state, tags = self._fixture_state()
+        model, params = init_model(cfg, jax.random.PRNGKey(0),
+                                   spatial=(8, 8, 8))
+        params, mapped, unmapped, unfilled = map_torch_state(params, state, cfg)
+        assert unfilled == [], f"unfilled flax params: {unfilled}"
+        # only the stem LayerNorm (no flax counterpart) may stay unmapped
+        assert sorted(unmapped) == [
+            "backbone.downsample_layers.0.1.bias",
+            "backbone.downsample_layers.0.1.weight",
+        ], unmapped
+
+        def leaf(*path):
+            node = params
+            for p in path:
+                node = node[p]
+            return np.asarray(node)
+
+        # spot-check placements an order-zip WOULD have shifted: with all
+        # downsamples registered before the stages, order alignment maps the
+        # enc0 block onto down-layer roles; names must prevent that
+        checks = {
+            ("params", "backbone", "stem", "kernel"):
+                "backbone.downsample_layers.0.0.weight",
+            ("params", "backbone", "down0", "conv", "kernel"):
+                "backbone.downsample_layers.1.1.weight",
+            ("params", "backbone", "down1", "norm", "scale"):
+                "backbone.downsample_layers.2.0.weight",
+            ("params", "backbone", "enc0_block0", "dwconv", "kernel"):
+                "backbone.stages.0.0.dwconv.weight",
+            ("params", "backbone", "enc1_block0", "pw1", "kernel"):
+                "backbone.stages.1.0.pwconv1.weight",
+            ("params", "backbone", "bottleneck_block0", "gamma"):
+                "backbone.stages.2.0.gamma",
+            ("params", "backbone", "dec0_block0", "pw2", "kernel"):
+                "backbone.stages.3.0.pwconv2.weight",
+            ("params", "backbone", "dec1_block0", "norm", "bias"):
+                "backbone.stages.4.0.norm.bias",
+            ("params", "backbone", "concat1", "fuse", "kernel"):
+                "backbone.concat.1.conv.weight",
+            ("params", "backbone", "final_norm", "scale"):
+                "backbone.norm.weight",
+            ("params", "backbone", "head_conv", "kernel"):
+                "backbone.head.weight",
+            ("params", "vector_head", "kernel"): "vector_predictor.weight",
+            ("params", "skeleton_head", "bias"): "skeleton_predictor.bias",
+            ("params", "semantic_head", "kernel"): "semantic_predictor.weight",
+        }
+        for path, key in checks.items():
+            got = leaf(*path)
+            assert np.all(got == tags[key]), (
+                f"{'/'.join(path)} expected tag {tags[key]} ({key}), "
+                f"got values {np.unique(got)}"
+            )
+
+    def test_decoder_as_separate_attribute(self):
+        """A bism variant registering decoder stages under ``up_stages``
+        (own numbering) must also route by name."""
+        import jax
+
+        from skoots_tpu.models import init_model
+        from skoots_tpu.utils.torch_compat import role_from_torch_key
+
+        cfg = self._cfg()
+        assert role_from_torch_key(
+            "backbone.up_stages.0.0.dwconv.weight", cfg
+        ) == ("params", "backbone", "dec0_block0", "dwconv", "kernel")
+        assert role_from_torch_key(
+            "backbone.up_stages.1.0.pwconv1.bias", cfg
+        ) == ("params", "backbone", "dec1_block0", "pw1", "bias")
+        assert role_from_torch_key(
+            "module.backbone.stages.0.blocks.0.norm.weight", cfg
+        ) == ("params", "backbone", "enc0_block0", "norm", "scale")
+
+
 class TestTorchCompat:
     def test_convert_trch_roundtrip(self, tmp_path):
         torch = pytest.importorskip("torch")

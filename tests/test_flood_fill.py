@@ -80,6 +80,23 @@ class TestEfficientFloodFill:
         out = efficient_flood_fill(x, relabel_sequential=True)
         assert set(np.unique(out)) == {0, 1, 2}
 
+    def test_compact_mode_matches_and_bounds_labels(self, rng):
+        """Compact mode (auto-on for >2^31 fast-path spans) must produce the
+        same partition while keeping every label <= total component count —
+        the int32-overflow fix for huge tiled volumes."""
+        x = (rng.random((64, 48, 12)) > 0.75).astype(np.int32)
+        fast = _canon(efficient_flood_fill(x, crop_size=(32, 32, 8),
+                                           compact=False))
+        comp = efficient_flood_fill(x, crop_size=(32, 32, 8), compact=True)
+        ref, _ = ndimage.label(x, structure=np.ones((3, 3, 3)))
+        assert comp.max() <= ref.max() * 4  # per-tile splits before merge
+        got = _canon(comp)
+        np.testing.assert_array_equal(fast > 0, got > 0)
+        ref = _canon(ref)
+        assert got.max() == ref.max()
+        pairs = np.unique(np.stack([got[x > 0], ref[x > 0]], 1), axis=0)
+        assert len(pairs) == got.max()
+
 
 class TestRemap:
     def test_remap_labels(self):

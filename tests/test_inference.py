@@ -163,14 +163,22 @@ class TestAssignSemanticGate:
         (round-2 convergence campaign regression)."""
         import jax.numpy as jnp
 
-        from skoots_tpu.infer.engine import _make_assign_fn
+        from skoots_tpu.infer.engine import _gather_ids, _make_embed_fn
 
         labels = jnp.zeros((16, 16, 8), jnp.int32).at[4:8, 4:8, 2:5].set(7)
         vec = jnp.zeros((1, 16, 16, 8, 3), jnp.float32)
         # one foreground voxel pointing at the labeled region
         vec = vec.at[0, 12, 12, 3].set(jnp.asarray([-1.0, -1.0, 0.0]))
-        assign = _make_assign_fn((6.0, 6.0, 2.0), n_iter=1)
-        ids = np.asarray(assign(labels, vec, jnp.zeros((1, 3), jnp.float32)))
+        fg = np.zeros((1, 16, 16, 8), np.uint8)
+        fg[0, 12, 12, 3] = 1
+        fg[0, 6, 6, 3] = 1  # fg voxel whose stored vector is exactly zero
+        embed_fn = _make_embed_fn((6.0, 6.0, 2.0), (16, 16, 8), n_iter=1)
+        idx, mins, maxs = embed_fn(vec, jnp.zeros((1, 3), jnp.float32))
+        ids = np.asarray(_gather_ids(labels, idx, jnp.zeros((3,), jnp.int32),
+                                     jnp.asarray(fg)))
         assert ids[0, 12, 12, 3] == 7          # fg voxel assigned
         assert ids[0, 5, 5, 3] == 0            # on-skeleton bg voxel NOT
-        assert (ids != 0).sum() == 1
+        # zero-vector foreground voxel keeps its own position's label (the
+        # vec!=0 gate used to zero it — ADVICE round-2 fix)
+        assert ids[0, 6, 6, 3] == 7
+        assert (ids != 0).sum() == 2
