@@ -155,13 +155,45 @@ class StemConv3D(nn.Module):
         return out + bb
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm's params without computing — the fused-kernel
+    branch of ConvNeXtBlock3D needs raw tensors. Names/inits/dtypes mirror
+    nn.LayerNorm exactly so both branches build identical param trees."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Param mirror of nn.Dense (lecun_normal kernel, zero bias)."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout)),
+            self.param("bias", nn.initializers.zeros, (self.dout,)),
+        )
+
+
 class ConvNeXtBlock3D(nn.Module):
     """ConvNeXt block: depthwise k^3 conv -> LN -> pointwise MLP (4x) -> scale.
 
     Equivalent role to bism.modules.convnext_block.Block3D (reference
     lib/utils.py:25). The depthwise conv runs in the Pallas packed-lane
-    kernel when eligible; the two pointwise Dense layers are the MXU hot
-    path.
+    kernel when eligible, and the block tail (LN -> pw1 -> GELU -> pw2 ->
+    layer-scale -> residual) fuses into one Pallas VMEM-streaming pass
+    (kernels/mlp.py) — the XLA composition materializes the [V, 4C] hidden
+    twice in HBM because two matmuls never share a fusion.
     """
 
     dim: int
@@ -171,6 +203,7 @@ class ConvNeXtBlock3D(nn.Module):
     activation: str = "gelu"
     dtype: jnp.dtype = jnp.bfloat16
     dwconv_impl: str = "auto"
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -184,6 +217,36 @@ class ConvNeXtBlock3D(nn.Module):
             impl=self.dwconv_impl,
             name="dwconv",
         )(x)
+
+        from skoots_tpu.kernels.mlp import mlp_block_tail, mlp_tail_eligible
+
+        use_fused = (
+            self.mlp_impl in ("auto", "pallas")
+            and self.activation == "gelu"
+            and self.layer_scale_init > 0
+            and (self.drop_path == 0.0 or deterministic)
+            and mlp_tail_eligible(x)
+            and (
+                self.mlp_impl == "pallas"
+                or (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16)
+            )
+        )
+        if use_fused:
+            ls, lb = _LNParams(self.dim, name="norm")()
+            w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pw1")()
+            w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pw2")()
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+                jnp.float32,
+            )
+            return mlp_block_tail(
+                x, shortcut, ls.astype(self.dtype), lb.astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype), gamma,
+            )
+
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pw1")(x)
         x = act(x)

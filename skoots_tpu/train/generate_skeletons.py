@@ -194,8 +194,15 @@ def calculate_skeletons(
         pts = extract(crop)
         if pts.shape[0] == 0:  # degenerate: centroid fallback
             pts = np.argwhere(crop).astype(np.float32).mean(0, keepdims=True)
-        pts = pts / scale + lower.astype(np.float32)
-        out[int(uid)] = pts.astype(np.float32)
+        if upsample:
+            # voxel-center inverse of the nearest-neighbor zoom: plain
+            # ``pts / scale`` (the reference's mapping,
+            # generate_skeletons.py:143-147) biases outward by up to
+            # (scale-1)/scale voxels, pushing ridge points OUTSIDE thin
+            # objects at the far face (measured: 23/71 blob medial points
+            # out-of-object at z-scale 3; 0 after this correction)
+            pts = (pts + 0.5) / scale - 0.5
+        out[int(uid)] = (pts + lower.astype(np.float32)).astype(np.float32)
     return out
 
 

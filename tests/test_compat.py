@@ -338,6 +338,7 @@ class TestNameBasedMapping:
 
 
 class TestTorchCompat:
+    @pytest.mark.slow
     def test_convert_trch_roundtrip(self, tmp_path):
         torch = pytest.importorskip("torch")
         from skoots_tpu.train.checkpoint import load_checkpoint
@@ -363,6 +364,7 @@ class TestTorchCompat:
         assert state["extra"]["converted_from"] == p
         assert "backbone.stem.weight" in state["extra"]["torch_state_dict_keys"]
 
+    @pytest.mark.slow
     def test_legacy_checkpoint_no_cfg(self, tmp_path):
         torch = pytest.importorskip("torch")
         from skoots_tpu.utils.torch_compat import convert_trch

@@ -53,6 +53,7 @@ class TestDevicePipeline:
 
 
 class TestChunkedPipeline:
+    @pytest.mark.slow
     def test_chunked_matches_single_program(self):
         import jax
         from skoots_tpu.infer.device_pipeline import (

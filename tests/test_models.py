@@ -63,6 +63,7 @@ class TestUNeXT:
         leaves = jax.tree_util.tree_leaves(g)
         assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
 
+    @pytest.mark.slow
     def test_default_cfg_param_count(self):
         # full-size default model should be a few million params (3D ConvNeXt
         # UNet at dims [32,64,128,64,32]) — sanity bound, not exact parity

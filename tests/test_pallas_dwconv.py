@@ -41,7 +41,16 @@ SHAPES = [
 
 
 @pytest.mark.parametrize("shape", SHAPES, ids=[str(s) for s in SHAPES])
-@pytest.mark.parametrize("kernel", ["v4", "v6", "slab"])
+@pytest.mark.parametrize(
+    "kernel",
+    [
+        # v4/v6 interpret-mode runs are 15-130 s each on one CPU core; the
+        # production v4 path keeps CPU coverage via test_flax_kernel_layout
+        pytest.param("v4", marks=pytest.mark.slow),
+        pytest.param("v6", marks=pytest.mark.slow),
+        "slab",
+    ],
+)
 def test_matches_xla(shape, kernel, rng):
     xs, ys, zs, c = shape
     x = jnp.asarray(rng.standard_normal((1, xs, ys, zs, c)), jnp.float32)
@@ -57,6 +66,7 @@ def test_matches_xla(shape, kernel, rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_batched_and_bias_free(rng):
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 32, 32)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((K, K, K, 32)), jnp.float32)

@@ -115,6 +115,7 @@ class TestTrainStep:
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_sharded_step_matches_single(self, setup):
         cfg, model, params = setup
         optimizer, schedule = cfg_optimizer(cfg)

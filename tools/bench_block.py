@@ -52,10 +52,37 @@ def main():
             print(f"stem(1->32): {dt*1e3:.1f} ms ({dt*1e3/mvox:.2f} ms/Mvox) "
                   f"compile {comp:.0f}s")
             continue
+        if name.startswith("mlp"):
+            # block tail only (LN -> pw1 -> gelu -> pw2 -> scale -> residual)
+            from skoots_tpu.kernels.mlp import _mlp_call, _xla_tail
+
+            c = TILE[-1]
+            ks = jax.random.split(jax.random.PRNGKey(2), 8)
+            ls, lb = jnp.ones((c,), jnp.bfloat16), jnp.zeros((c,), jnp.bfloat16)
+            w1 = jax.random.normal(ks[0], (c, 4 * c), jnp.bfloat16) * 0.1
+            b1 = jnp.zeros((4 * c,), jnp.bfloat16)
+            w2 = jax.random.normal(ks[1], (4 * c, c), jnp.bfloat16) * 0.1
+            b2 = jnp.zeros((c,), jnp.bfloat16)
+            g = jnp.ones((c,), jnp.float32)
+            if name == "mlp_fused":
+                def fn(v):
+                    v2 = v.reshape(-1, c)
+                    return _mlp_call(v2, v2, ls, lb, w1, b1, w2, b2,
+                                     g).reshape(TILE)
+            else:
+                fn = lambda v: _xla_tail(v, v, ls, lb, w1, b1, w2, b2, g)
+            dt, comp = timeit(fn, x)
+            print(f"{name}: {dt*1e3:.1f} ms ({dt*1e3/mvox:.2f} ms/Mvox) "
+                  f"compile {comp:.0f}s")
+            continue
         if name.startswith("block"):
             impl = name.split("_")[1]
-            mod = ConvNeXtBlock3D(32, 7, 1.0, 0.0, "gelu", jnp.bfloat16,
-                                  dwconv_impl=impl)
+            if impl == "fused":
+                mod = ConvNeXtBlock3D(32, 7, 1.0, 0.0, "gelu", jnp.bfloat16,
+                                      dwconv_impl="auto", mlp_impl="pallas")
+            else:
+                mod = ConvNeXtBlock3D(32, 7, 1.0, 0.0, "gelu", jnp.bfloat16,
+                                      dwconv_impl=impl, mlp_impl="xla")
             params = mod.init({"params": jax.random.PRNGKey(0)},
                               x[:, :32, :32, :32], True)
             fn = lambda v: mod.apply(params, v, True)
