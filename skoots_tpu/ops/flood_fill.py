@@ -127,6 +127,7 @@ def make_label_components_stepped(
     connectivity: int = 26,
     propagates_per_round: int = 1,
     jumps_per_round: int = 2,
+    propagate_impl: str = "auto",
 ):
     """Connected components split across dispatches.
 
@@ -145,9 +146,27 @@ def make_label_components_stepped(
     is still a single 26/6-conn hop — components never bridge background
     gaps.
 
+    ``propagate_impl``: 'xla' (reduce_window), 'pallas' (the fused
+    multi-pass VMEM kernel, kernels/propagate.py — several propagation
+    hops per HBM traversal), or 'auto' (pallas on TPU when the shape is
+    eligible).
+
     Returns ``label(binary, max_rounds) -> labels``.
     """
     x, y, z = shape
+    from skoots_tpu.kernels.propagate import (
+        propagate_eligible,
+        propagate_pallas,
+    )
+
+    pallas_q = 4  # propagation passes per kernel invocation (VMEM-halo bound)
+    use_pallas = propagate_impl == "pallas" or (
+        propagate_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and propagates_per_round >= pallas_q
+        and propagates_per_round % pallas_q == 0
+        and propagate_eligible(shape, passes=pallas_q)
+    )
 
     @jax.jit
     def init(binary):
@@ -182,8 +201,18 @@ def make_label_components_stepped(
 
         def one_round(lab):
             new = lab
-            for _ in range(propagates_per_round):
-                new = propagate(new)
+            if use_pallas:
+                interp = jax.default_backend() != "tpu"
+                n_calls, rem = divmod(propagates_per_round, pallas_q)
+                for _ in range(n_calls):
+                    new = propagate_pallas(new, fg, passes=pallas_q,
+                                           connectivity=connectivity,
+                                           interpret=interp)
+                for _ in range(rem):
+                    new = propagate(new)
+            else:
+                for _ in range(propagates_per_round):
+                    new = propagate(new)
             for _ in range(jumps_per_round):
                 flat = new.reshape(-1)
                 tgt = jnp.maximum(new - 1, 0).reshape(-1)
