@@ -19,18 +19,29 @@ instance's points — the mask just runs them in one dense sweep) but as large
 fused matmul+reduce blocks instead of 1.8M scalar programs.
 
 A Pallas kernel with a P-blocked running-argmin lives in
-``skoots_tpu.kernels.bake`` and is used automatically on TPU for large P.
+``skoots_tpu.kernels.bake``; ``bake_skeleton(impl="auto")`` dispatches to it
+on TPU when P >= ``_PALLAS_MIN_P`` (measured crossover, tools/bench_bake.py —
+the matmul path wins at small P where the [chunk, P] tile underfeeds the MXU
+less than the VPU distance sweep costs; mirrors the reference's triton/torch
+dispatch, skeleton.py:494-507).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from skoots_tpu.kernels.bake import bake_skeleton_pallas
 from skoots_tpu.ops.vec2embed import coordinate_mesh
+
+# Measured on v5e (tools/bench_bake.py): the Pallas running-argmin kernel
+# overtakes the MXU matmul-distance path once the point count is large
+# enough that streaming [CHUNK, PBLOCK] VPU tiles beats [4096, P] matmuls.
+_PALLAS_MIN_P = int(os.environ.get("SKOOTS_BAKE_PALLAS_MIN_P", "8192"))
 
 
 class PackedSkeletons(NamedTuple):
@@ -112,6 +123,7 @@ def bake_skeleton(
     average: bool = True,
     chunk: int = 4096,
     return_distance: bool = False,
+    impl: str = "auto",
 ):
     """Per-voxel closest skeleton vertex of the voxel's own instance.
 
@@ -125,6 +137,8 @@ def bake_skeleton(
             (:func:`average_baked_skeletons`), as the training path does.
         chunk: voxels per matmul block (bounds the [chunk, P] intermediate).
         return_distance: also return ``[X, Y, Z]`` distances.
+        impl: "auto" (Pallas kernel on TPU when P >= _PALLAS_MIN_P, else the
+            MXU matmul path), "mxu", or "pallas".
 
     Returns:
         baked ``[X, Y, Z, 3]`` float32 (0 where background), and optionally
@@ -132,6 +146,22 @@ def bake_skeleton(
     """
     if isinstance(skeletons, dict):
         skeletons = pack_skeletons(skeletons)
+
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and skeletons.points.shape[0] >= _PALLAS_MIN_P
+    )
+    if use_pallas:
+        baked, dist = bake_skeleton_pallas(
+            masks, skeletons.points, skeletons.ids, anisotropy
+        )
+        if average:
+            baked = average_baked_skeletons(baked[None])[0]
+        if return_distance:
+            return baked, dist
+        return baked
+
     x, y, z = masks.shape
     v = x * y * z
     chunk = min(chunk, _round_up(v, 8))

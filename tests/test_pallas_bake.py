@@ -44,6 +44,35 @@ class TestPallasBake:
         assert np.asarray(baked).sum() == 0
         assert np.asarray(dist).sum() == 0
 
+    def test_auto_dispatch(self, rng, monkeypatch):
+        """impl='auto' routes to the Pallas kernel on TPU iff P >= threshold."""
+        import skoots_tpu.ops.skeleton as sk
+
+        masks, skels = _random_case(rng)
+        packed = pack_skeletons(skels, pad_to=sk._PALLAS_MIN_P)
+        small = pack_skeletons(skels)  # padded well below the threshold
+
+        calls = []
+
+        def fake_pallas(m, pts, pids, aniso=(1.0, 1.0, 1.0)):
+            calls.append(pts.shape[0])
+            return (jnp.zeros((*m.shape, 3), jnp.float32),
+                    jnp.zeros(m.shape, jnp.float32))
+
+        monkeypatch.setattr(sk, "bake_skeleton_pallas", fake_pallas)
+
+        # CPU backend: auto must use the MXU path regardless of P
+        sk.bake_skeleton(jnp.asarray(masks), packed, average=False)
+        assert calls == []
+
+        monkeypatch.setattr(sk.jax, "default_backend", lambda: "tpu")
+        sk.bake_skeleton(jnp.asarray(masks), small, average=False)
+        assert calls == []  # small P stays on the MXU path
+        sk.bake_skeleton(jnp.asarray(masks), packed, average=False)
+        assert calls == [sk._PALLAS_MIN_P]
+        sk.bake_skeleton(jnp.asarray(masks), small, average=False, impl="pallas")
+        assert len(calls) == 2  # explicit override wins
+
     def test_many_points_multiblock(self, rng):
         # force multiple PBLOCK inner steps
         masks = np.ones((8, 8, 8), np.int32)
