@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial-shards", dest="spatial_shards", type=int, default=0,
                    help="shard the volume's X axis over this many devices "
                         "(multi-chip spatially-partitioned inference)")
+    p.add_argument("--dilate-3d", dest="dilation_3d", type=int, default=1,
+                   help="3D dilation steps applied to the thresholded skeleton "
+                        "map before connected components (default 1, reference "
+                        "eval.py:152-157). Each step bridges ~2 voxels: keep "
+                        "total dilation below half the minimum inter-skeleton "
+                        "gap or adjacent instances merge")
+    p.add_argument("--dilate-2d", dest="dilation_2d", type=int, default=2,
+                   help="in-plane (XY) dilation steps after the 3D steps "
+                        "(default 2, reference eval.py:152-157)")
     return p
 
 
@@ -108,6 +117,8 @@ def main(argv=None) -> int:
             spatial_shards=args.spatial_shards,
             embed_exit_fraction=1e-3 if args.fast_embed_walk else None,
             out_of_core=args.out_of_core,
+            dilation_3d=args.dilation_3d,
+            dilation_2d=args.dilation_2d,
         )
     return 0
 

@@ -377,6 +377,12 @@ def run_inference(
     if use_cached_data and all(
         os.path.exists(p) for p in (vec_path, skel_path, sem_path)
     ):
+        if (dilation_3d, dilation_2d) != (1, 2) or prob_threshold != 0.8:
+            log.warning(
+                "use_cached_data: cached skeleton buffer already has the "
+                "threshold/dilation from its original run baked in; "
+                "--dilate-3d/--dilate-2d/prob_threshold are ignored"
+            )
         vectors = np.load(vec_path, mmap_mode="r")
         skeleton_u8 = np.load(skel_path, mmap_mode="r")
         semantic_u8 = np.load(sem_path, mmap_mode="r")

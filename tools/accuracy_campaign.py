@@ -40,6 +40,22 @@ SCENARIOS = ("separated", "touching", "aniso", "blobs", "sparse", "perslice")
 BARS = {"separated": 0.8, "touching": 0.8, "aniso": 0.8, "blobs": 0.8,
         "sparse": 0.7, "perslice": 0.6}
 
+# Post-forward dilation, scaled to each phantom's skeleton spacing.  The
+# dilation stack exists to re-connect a *fragmented* skeleton prediction of
+# one instance; every step also bridges ~2 voxels of gap *between* adjacent
+# instances' skeletons, so total steps must stay below half the minimum
+# inter-skeleton gap.  The reference default (1x3D + 2x2D, eval.py:152-157)
+# is tuned for its mito regime where neighbouring skeletons sit >=10 voxels
+# apart; these miniature phantoms put radius-3 stamps on centerlines only
+# 10-11 voxels apart (gap ~4), so crowded scenarios get a reduced stack
+# (measured: tools/diag_assign.py sweeps show the model separates every
+# instance — F1=1.0 — once the stack stops bridging; same knob is exposed to
+# users as skoots --dilate-3d/--dilate-2d).
+INFER_KNOBS = {
+    "touching": {"dilation_3d": 0, "dilation_2d": 1},
+    "aniso": {"dilation_3d": 0, "dilation_2d": 1},
+}
+
 
 def _phantom(scenario: str, seed: int):
     from skoots_tpu.utils.synthetic import make_blobs, make_tubes
@@ -157,7 +173,8 @@ def score(gt: np.ndarray, pred: np.ndarray) -> dict:
 
 
 def run_scenario(scenario: str, outdir: str, epochs: int,
-                 steps_per_epoch: int, aniso_ckpt: str | None = None) -> dict:
+                 steps_per_epoch: int, aniso_ckpt: str | None = None,
+                 rescore: bool = False) -> dict:
     root = os.path.abspath(os.path.join(outdir, scenario))
     os.makedirs(root, exist_ok=True)
     save_dir = os.path.join(root, "models")
@@ -191,33 +208,43 @@ def run_scenario(scenario: str, outdir: str, epochs: int,
         result = {"scenario": scenario, **score(gt, np.asarray(pred).squeeze()),
                   "checkpoint": aniso_ckpt}
     else:
-        train_dir, val_dir = build_dataset(root, scenario)
-        cfg_path = os.path.join(root, "cfg.yaml")
-        write_cfg(cfg_path, train_dir, save_dir, epochs, scenario)
-
-        from skoots_tpu.train.cli import main as train_main
-
-        rc = train_main([
-            "--config-file", cfg_path,
-            "--steps-per-epoch", str(steps_per_epoch),
-            "--log", "2",
-        ])
-        if rc != 0:
-            return {"scenario": scenario, "ok": False, "stage": "train",
-                    "rc": rc}
         ckpts = sorted(glob.glob(os.path.join(save_dir, "*.skoots")))
-        assert ckpts, "no checkpoint written"
-        ckpt = ckpts[-1]
+        if rescore and ckpts:
+            val_dir = os.path.join(root, "val")
+            ckpt = ckpts[-1]
+        else:
+            train_dir, val_dir = build_dataset(root, scenario)
+            cfg_path = os.path.join(root, "cfg.yaml")
+            write_cfg(cfg_path, train_dir, save_dir, epochs, scenario)
+
+            from skoots_tpu.train.cli import main as train_main
+
+            rc = train_main([
+                "--config-file", cfg_path,
+                "--steps-per-epoch", str(steps_per_epoch),
+                "--log", "2",
+            ])
+            if rc != 0:
+                return {"scenario": scenario, "ok": False, "stage": "train",
+                        "rc": rc}
+            ckpts = sorted(glob.glob(os.path.join(save_dir, "*.skoots")))
+            assert ckpts, "no checkpoint written"
+            ckpt = ckpts[-1]
 
         from skoots_tpu.infer import run_inference
 
         val_img = os.path.join(val_dir, "val.tif")
         shape = _phantom(scenario, 999)[0].shape
+        # cached phase-1 buffers store the post-dilation skeleton map, so a
+        # scenario with non-default dilation knobs must re-run the forward
         mask = run_inference(
             val_img, ckpt,
+            use_cached_data=rescore and scenario not in INFER_KNOBS and bool(
+                glob.glob(os.path.splitext(val_img)[0] + "_skoots_vectors.npy")),
             crop_size=(*shape[:2], 32), overlap=(0, 0, 0),
             assign_crop_size=(*shape[:2], 32), assign_overlap=(0, 0, 0),
             embed_iterations=10,
+            **INFER_KNOBS.get(scenario, {}),
         )
         gt = np.asarray(imread(os.path.join(val_dir, "val.labels.tif"))).squeeze()
         result = {"scenario": scenario,
@@ -240,6 +267,10 @@ def main() -> int:
     ap.add_argument("--steps-per-epoch", type=int, default=10)
     ap.add_argument("--outdir", default="runs/accuracy")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--rescore", action="store_true",
+                    help="reuse an existing trained checkpoint (and cached "
+                         "phase-1 buffers) and only re-run the post-forward "
+                         "tail + scoring")
     args = ap.parse_args()
 
     if args.cpu:
@@ -263,12 +294,19 @@ def main() -> int:
                 print("perslice: no aniso checkpoint available, skipping")
                 continue
         r = run_scenario(s, args.outdir, args.epochs, args.steps_per_epoch,
-                         aniso_ckpt)
+                         aniso_ckpt, rescore=args.rescore)
         results.append(r)
         if s == "aniso" and r.get("checkpoint"):
             aniso_ckpt = r["checkpoint"]
 
-    summary = {"ok": all(r.get("ok") for r in results), "results": results}
+    # aggregate from disk so partial/rescore runs fold into prior results
+    results = []
+    for s in SCENARIOS:
+        p = os.path.join(args.outdir, s, "result.json")
+        if os.path.exists(p):
+            results.append(json.load(open(p)))
+    summary = {"ok": all(r.get("ok") for r in results) and bool(results),
+               "results": results}
     os.makedirs(args.outdir, exist_ok=True)
     with open(os.path.join(args.outdir, "campaign.json"), "w") as f:
         json.dump(summary, f, indent=2)
