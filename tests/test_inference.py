@@ -182,3 +182,40 @@ class TestAssignSemanticGate:
         # vec!=0 gate used to zero it — ADVICE round-2 fix)
         assert ids[0, 6, 6, 3] == 7
         assert (ids != 0).sum() == 2
+
+
+class TestCLIDilationKnobs:
+    def test_parser_defaults_match_reference_stack(self):
+        """--dilate-3d/--dilate-2d default to the reference eval stack
+        (eval.py:152-157) and parse through to ints."""
+        from skoots_tpu.cli import build_parser
+
+        p = build_parser()
+        a = p.parse_args([])
+        assert (a.dilation_3d, a.dilation_2d) == (1, 2)
+        a = p.parse_args(["--dilate-3d", "0", "--dilate-2d", "1"])
+        assert (a.dilation_3d, a.dilation_2d) == (0, 1)
+
+    def test_dilation_zero_keeps_skeletons_separate(self, tiny_ckpt, tube_tif):
+        """With no dilation the skeleton map stays exactly the thresholded
+        prediction; with the default stack it is a superset."""
+        import jax.numpy as jnp
+
+        from skoots_tpu.infer.engine import _make_tile_fn
+        from skoots_tpu.models import cfg_to_model
+
+        ckpt = load_checkpoint(tiny_ckpt)
+        model = cfg_to_model(ckpt["cfg"])
+        import jax.random as jrandom
+
+        path, _ = tube_tif
+        vol = jnp.asarray(imread(path)[None, ..., None], jnp.float32)
+        params = model.init({"params": jrandom.PRNGKey(0)},
+                            vol[:, :16, :16, :8], deterministic=True)
+        f_none = _make_tile_fn(model, params, 100.0, 50.0, 0.5, 0, 0)
+        f_ref = _make_tile_fn(model, params, 100.0, 50.0, 0.5, 1, 2)
+        _, sk0, sem0 = f_none(vol)
+        _, sk1, sem1 = f_ref(vol)
+        sk0, sk1 = np.asarray(sk0), np.asarray(sk1)
+        assert np.array_equal(np.asarray(sem0), np.asarray(sem1))
+        assert (sk1 >= sk0).all() and sk1.sum() > sk0.sum()
