@@ -1,6 +1,7 @@
 """CC schedule sweep at 512^3. Args: P,J pairs e.g. `64,0 64,1 16,1 6,2`.
 
 CC_MODE=speckle (bench-like worst case) | tubes (realistic sparse).
+CC_IMPL=auto|xla|pallas selects the propagate implementation.
 """
 
 import os
@@ -52,6 +53,7 @@ def main():
         cc = make_label_components_stepped(
             shape, rounds_per_dispatch=1 if j else 16,
             propagates_per_round=p, jumps_per_round=j,
+            propagate_impl=os.environ.get("CC_IMPL", "auto"),
         )
         lab = cc(mask, max_rounds=4096 // max(p, 1))
         lab.block_until_ready()
