@@ -149,10 +149,17 @@ def make_label_components_stepped(
     ``propagate_impl``: 'xla' (reduce_window), 'pallas' (the fused
     multi-pass VMEM kernel, kernels/propagate.py — several propagation
     hops per HBM traversal), or 'auto' (pallas on TPU when the shape is
-    eligible).
+    eligible). The ``SKOOTS_PROPAGATE_IMPL`` env var overrides this for
+    every pipeline.
 
     Returns ``label(binary, max_rounds) -> labels``.
     """
+    import os
+
+    # global kill switch: lets an operator force 'xla' (or 'pallas') across
+    # every pipeline without code changes, e.g. if a libtpu/Mosaic update
+    # rejects the fused kernel on some chip generation
+    propagate_impl = os.environ.get("SKOOTS_PROPAGATE_IMPL", propagate_impl)
     x, y, z = shape
     from skoots_tpu.kernels.propagate import (
         propagate_eligible,

@@ -139,3 +139,27 @@ class TestSteppedCC:
                 )
             )
             np.testing.assert_array_equal(ref, lab)
+
+    def test_env_overrides_propagate_impl(self, rng, monkeypatch):
+        """SKOOTS_PROPAGATE_IMPL is a global kill switch: forcing 'xla'
+        must win over an explicit propagate_impl='pallas' request (and
+        still produce the same partition)."""
+        import skoots_tpu.kernels.propagate as kp
+        from skoots_tpu.ops.flood_fill import make_label_components_stepped
+
+        monkeypatch.setenv("SKOOTS_PROPAGATE_IMPL", "xla")
+        called = []
+        monkeypatch.setattr(
+            kp, "propagate_pallas",
+            lambda *a, **k: called.append(1) or (_ for _ in ()).throw(
+                AssertionError("pallas used despite env override")),
+        )
+        x = (rng.random((16, 16, 8)) > 0.6).astype(np.int32)
+        lab = np.asarray(
+            make_label_components_stepped(
+                x.shape, propagates_per_round=4, propagate_impl="pallas"
+            )(jnp.asarray(x), max_rounds=32)
+        )
+        ref = np.asarray(label_components(jnp.asarray(x), max_rounds=32))
+        np.testing.assert_array_equal(_canon(ref), _canon(lab))
+        assert not called
