@@ -59,6 +59,13 @@ def main() -> int:
     args = ap.parse_args()
     shape = tuple(int(v) for v in args.shape.split(","))
 
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] %(name)s [%(levelname)s]: %(message)s",
+    )
+
     if args.cpu:
         import jax
 
