@@ -76,7 +76,7 @@ def make_sparse_train_step(model, optimizer, schedule, sigma, cfg: CfgNode):
     e0_p = cfg.TRAIN.LOSS_PROBABILITY_START_EPOCH
     e0_s = cfg.TRAIN.LOSS_SKELETON_START_EPOCH
 
-    def loss_fn(params, batch, epoch):
+    def loss_fn(params, batch, epoch, sigma_value):
         out = model.apply(params, batch["image"], deterministic=True)
         vec, skel, prob = split_output(out)
         embedding = vector_to_embedding(vector_scale, vec)
@@ -87,7 +87,7 @@ def make_sparse_train_step(model, optimizer, schedule, sigma, cfg: CfgNode):
             valid=batch["valid"],
             background=batch["background"],
             semantic=prob,
-            sigma=sigma(epoch),
+            sigma=sigma_value,
             anisotropy=anisotropy,
             distance_thr=thr,
             bg_multiplier=mult,
@@ -100,11 +100,12 @@ def make_sparse_train_step(model, optimizer, schedule, sigma, cfg: CfgNode):
         return total, {"loss": total, "embed": l_embed, "prob": l_bg, "skele": l_skel}
 
     @jax.jit
-    def train_step(state: TrainState, batch: Dict, epoch: jax.Array):
+    def jitted(state: TrainState, batch: Dict, epoch: jax.Array,
+               sigma_value: jax.Array, lr: jax.Array):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, epoch
+            state.params, batch, epoch, sigma_value
         )
-        state.opt_state.hyperparams["learning_rate"] = schedule(epoch)
+        state.opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # NaN guard: skip the whole update when the loss is non-finite
@@ -113,6 +114,18 @@ def make_sparse_train_step(model, optimizer, schedule, sigma, cfg: CfgNode):
             lambda new, old: jnp.where(ok, new, old), new_params, state.params
         )
         return TrainState(step=state.step + 1, params=params, opt_state=new_opt), metrics
+
+    # sigma/lr are runtime inputs computed host-side per epoch, so protocol
+    # edits (SIGMA_DECAY, NUM_EPOCHS) reuse the cached executable — the
+    # first remote compile of this step costs tens of minutes
+    from skoots_tpu.train.engine import _make_host_consts
+
+    host_consts = _make_host_consts(sigma, schedule)
+
+    def train_step(state, batch, epoch):
+        e = int(epoch)
+        sig, lr = host_consts(e)
+        return jitted(state, batch, jnp.asarray(e, jnp.int32), sig, lr)
 
     return train_step
 

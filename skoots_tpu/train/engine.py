@@ -90,6 +90,29 @@ def cfg_optimizer(cfg: CfgNode) -> tuple[optax.GradientTransformation, Callable]
 # ------------------------------------------------------------------ train step
 
 
+def _make_host_consts(sigma: Sigma, schedule: Callable | None):
+    """Per-epoch (sigma, lr) computed host-side and memoized.
+
+    These feed the jitted step as runtime arrays so schedule constants
+    never land in the HLO (see make_train_step).
+    """
+    import numpy as np
+
+    cache: Dict[int, tuple] = {}
+
+    def host_consts(e: int):
+        if e not in cache:
+            sig = jnp.asarray(sigma.host(e))
+            lr = (
+                jnp.asarray(np.float32(jax.device_get(schedule(e))))
+                if schedule is not None else None
+            )
+            cache[e] = (sig, lr)
+        return cache[e]
+
+    return host_consts
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -127,11 +150,11 @@ def make_train_step(
     e0_p = cfg.TRAIN.LOSS_PROBABILITY_START_EPOCH
     e0_s = cfg.TRAIN.LOSS_SKELETON_START_EPOCH
 
-    def loss_fn(params, batch, epoch, rngs):
+    def loss_fn(params, batch, epoch, sigma_value, rngs):
         out = model.apply(params, batch["image"], deterministic=False, rngs=rngs)
         vec, skel, prob = split_output(out)
         embedding = vector_to_embedding(vector_scale, vec)
-        embed_prob = baked_embed_to_prob(embedding, batch["baked"], sigma(epoch))
+        embed_prob = baked_embed_to_prob(embedding, batch["baked"], sigma_value)
 
         gt_fg = (batch["masks"] > 0).astype(jnp.float32)
         gt_skel = (batch["skele_masks"] > 0).astype(jnp.float32)
@@ -147,18 +170,18 @@ def make_train_step(
         total = w_e * g_e * l_e + w_p * g_p * l_p + w_s * g_s * l_s
         return total, {"loss": total, "embed": l_e, "prob": l_p, "skele": l_s}
 
-    def train_step(state: TrainState, batch: Dict, epoch: jax.Array, rng: jax.Array):
+    def train_step(state: TrainState, batch: Dict, epoch: jax.Array,
+                   rng: jax.Array, sigma_value: jax.Array, lr: jax.Array):
         rngs = {"droppath": jax.random.fold_in(rng, state.step)}
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, epoch, rngs
+            state.params, batch, epoch, sigma_value, rngs
         )
         # set per-epoch lr (inject_hyperparams exposes .hyperparams)
-        lr_now = schedule(epoch)
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr_now
+        opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["lr"] = lr_now
+        metrics["lr"] = lr
         return TrainState(step=state.step + 1, params=params, opt_state=new_opt), metrics
 
     if mesh is not None:
@@ -167,13 +190,27 @@ def make_train_step(
         batch_shardings = {
             "image": bs(5), "masks": bs(5), "baked": bs(5), "skele_masks": bs(5),
         }
-        return jax.jit(
+        jitted = jax.jit(
             train_step,
-            in_shardings=(rep, batch_shardings, rep, rep),
+            in_shardings=(rep, batch_shardings, rep, rep, rep, rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,),
         )
-    return jax.jit(train_step, donate_argnums=(0,))
+    else:
+        jitted = jax.jit(train_step, donate_argnums=(0,))
+
+    # Sigma and lr enter the compiled program as runtime inputs, computed
+    # on the host per epoch: editing SIGMA_DECAY / NUM_EPOCHS (which moves
+    # the optax schedule's constants) then reuses the cached executable
+    # instead of forcing a multi-minute recompile.
+    host_consts = _make_host_consts(sigma, schedule)
+
+    def step(state, batch, epoch, rng):
+        e = int(epoch)
+        sig, lr = host_consts(e)
+        return jitted(state, batch, jnp.asarray(e, jnp.int32), rng, sig, lr)
+
+    return step
 
 
 def make_eval_step(model, sigma: Sigma, cfg: CfgNode):
@@ -194,11 +231,11 @@ def make_eval_step(model, sigma: Sigma, cfg: CfgNode):
     )
 
     @jax.jit
-    def eval_step(params, batch, epoch):
+    def jitted(params, batch, sigma_value):
         out = model.apply(params, batch["image"], deterministic=True)
         vec, skel, prob = split_output(out)
         embedding = vector_to_embedding(vector_scale, vec)
-        embed_prob = baked_embed_to_prob(embedding, batch["baked"], sigma(epoch))
+        embed_prob = baked_embed_to_prob(embedding, batch["baked"], sigma_value)
         gt_fg = (batch["masks"] > 0).astype(jnp.float32)
         gt_skel = (batch["skele_masks"] > 0).astype(jnp.float32)
         return {
@@ -206,6 +243,12 @@ def make_eval_step(model, sigma: Sigma, cfg: CfgNode):
             "prob": loss_prob(prob, gt_fg),
             "skele": loss_skele(skel, gt_skel),
         }
+
+    host_consts = _make_host_consts(sigma, None)
+
+    def eval_step(params, batch, epoch):
+        sig, _ = host_consts(int(epoch))
+        return jitted(params, batch, sig)
 
     return eval_step
 

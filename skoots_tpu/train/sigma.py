@@ -33,6 +33,21 @@ class Sigma:
         mult = jnp.prod(jnp.where(self.epochs < e, self.values, 1.0))
         return self.initial_sigma * mult
 
+    def host(self, e: int) -> "np.ndarray":
+        """Concrete sigma at a host epoch, computed with numpy only.
+
+        Train steps take sigma as a runtime input (not a traced-in
+        constant) so that editing SIGMA_DECAY/NUM_EPOCHS never changes the
+        compiled program — schedule constants baked into HLO were the main
+        cause of full recompiles between training protocols.
+        """
+        import numpy as np
+
+        epochs = np.asarray(self.epochs)
+        values = np.asarray(self.values)
+        mult = np.prod(np.where(epochs < e, values, 1.0))
+        return (np.asarray(self.initial_sigma) * mult).astype(np.float32)
+
 
 def init_sigma(cfg: CfgNode) -> Sigma:
     adjustments = [
