@@ -162,9 +162,12 @@ def main() -> int:
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     # crop/overlap tuned for sweep redundancy (stride = crop - 2*overlap):
     # 192x192x96 / 8,8,4 sweeps 1.43x the volume's voxels vs 3.1x at the old
-    # 128^2x64 / 16,16,8 (measured: 194 s -> 161 s at 512^3). The overlap only
-    # needs to cover the dilation stack's reach (3,3,1) plus model edge
-    # effects; the reference burns 6.1x redundancy (eval.py:126).
+    # 128^2x64 / 16,16,8 and 6.1x in the reference (eval.py:126). Zero
+    # overlap would allow an exact 2x2x6 grid of 256^2x96 tiles (1.125x) but
+    # measurably breaks instances at tile seams (runs/seam_probe.json:
+    # touching-tubes F1 drops 1.0 -> 0.44); per-tile ms/Mvox is flat between
+    # 192^2x96 and 256^2x96 (71.8 vs 70.0) and collapses >=264^2 (VMEM
+    # cliff, 209+ ms/Mvox), so the 192^2x96 grid stands.
     crop = tuple(int(v) for v in os.environ.get("BENCH_CROP", "192,192,96").split(","))
     ov = tuple(int(v) for v in os.environ.get("BENCH_OVERLAP", "8,8,4").split(","))
     attempts = [

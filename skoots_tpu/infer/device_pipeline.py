@@ -172,6 +172,28 @@ def _round4(d: int) -> int:
     return max(4, (d // 4) * 4)
 
 
+def _balanced_chunks(origins: np.ndarray, max_chunk: int) -> list:
+    """Split the tile-origin table into equally-sized chunks of at most
+    ``max_chunk`` rows, padding (by repeating the last origin — writes are
+    idempotent) only up to the balanced size. Balancing keeps every dispatch
+    on ONE compiled program shape while wasting at most ``n_chunks - 1`` tile
+    executions; naive fixed-size chunking wastes up to ``max_chunk - 1``
+    (e.g. 24 tiles at 16/dispatch: balanced = 2x12 with zero waste, naive =
+    16 + 8-padded-to-16, +25% forward work)."""
+    n = len(origins)
+    n_chunks = max(1, -(-n // max_chunk))
+    size = -(-n // n_chunks)
+    chunks = []
+    for s in range(0, n, size):
+        chunk = origins[s : s + size]
+        if len(chunk) < size:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], size - len(chunk), 0)]
+            )
+        chunks.append(chunk)
+    return chunks
+
+
 def make_chunked_pipeline(
     model,
     volume_shape: Tuple[int, int, int],
@@ -324,13 +346,7 @@ def make_chunked_pipeline(
         vol = prep(volume, mean, std)
         vec_buf = jnp.zeros((px, py, pz, 3), dtype)
         skel_buf = jnp.zeros((px, py, pz), jnp.uint8)
-        g = tiles_per_dispatch
-        for s in range(0, len(origins), g):
-            chunk = origins[s : s + g]
-            if len(chunk) < g:  # pad by repeating (idempotent writes)
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], g - len(chunk), 0)]
-                )
+        for chunk in _balanced_chunks(origins, tiles_per_dispatch):
             vec_buf, skel_buf = phase1_chunk(
                 params, vol, vec_buf, skel_buf, jnp.asarray(chunk)
             )
@@ -342,12 +358,7 @@ def make_chunked_pipeline(
         mark("2-cc", labels)
 
         inst = jnp.zeros((x, y, z), jnp.int32)
-        for s in range(0, len(a_origins), g):
-            chunk = a_origins[s : s + g]
-            if len(chunk) < g:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], g - len(chunk), 0)]
-                )
+        for chunk in _balanced_chunks(a_origins, tiles_per_dispatch):
             inst = assign_chunk(labels, vec_full, skel_full, inst,
                                 jnp.asarray(chunk))
         mark("3-assign", inst)

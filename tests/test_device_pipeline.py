@@ -52,6 +52,33 @@ class TestDevicePipeline:
             assert counts.max() / counts.sum() > 0.9
 
 
+class TestBalancedChunks:
+    def test_exact_split_has_no_padding(self):
+        from skoots_tpu.infer.device_pipeline import _balanced_chunks
+
+        origins = np.arange(24 * 3).reshape(24, 3)
+        chunks = _balanced_chunks(origins, 16)
+        assert [len(c) for c in chunks] == [12, 12]
+        np.testing.assert_array_equal(np.concatenate(chunks), origins)
+
+    def test_padding_bounded_by_chunk_count(self):
+        from skoots_tpu.infer.device_pipeline import _balanced_chunks
+
+        for n in (1, 5, 17, 54, 100):
+            for g in (1, 4, 16):
+                origins = np.arange(n * 3).reshape(n, 3)
+                chunks = _balanced_chunks(origins, g)
+                sizes = {len(c) for c in chunks}
+                assert len(sizes) == 1  # one compiled program shape
+                size = sizes.pop()
+                assert size <= g
+                total = size * len(chunks)
+                assert total - n < len(chunks)  # waste < n_chunks
+                # every original origin appears, in order
+                flat = np.concatenate(chunks)[:, 0]
+                assert set(origins[:, 0]) <= set(flat.tolist())
+
+
 class TestChunkedPipeline:
     @pytest.mark.slow
     def test_chunked_matches_single_program(self):
