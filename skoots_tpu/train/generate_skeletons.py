@@ -59,6 +59,15 @@ def _medial_points(binary: np.ndarray, nms_radius: float = 1.5) -> np.ndarray:
     return pts[np.asarray(keep)].astype(np.float32)
 
 
+def _lee_points(binary: np.ndarray) -> np.ndarray:
+    """Skeleton point cloud via true Lee-Kashyap-Chu 3D medial-axis thinning
+    (the reference's skimage.skeletonize_3d choice, generate_skeletons.py:138)
+    — native C++ kernel with a scipy fallback (skoots_tpu.native.lee_thin)."""
+    from skoots_tpu.native import lee_thin
+
+    return np.argwhere(lee_thin(binary)).astype(np.float32)
+
+
 def _teasar_points(
     binary: np.ndarray,
     invalidation_scale: float = 3.0,
@@ -171,12 +180,15 @@ def calculate_skeletons(
         scale: anisotropy upsample factors applied before skeletonization and
             divided back out of the point coordinates (reference :81-89).
         method: ``"medial"`` (EDT-ridge, reference calculate_skeletons
-            :65-157) or ``"teasar"`` (reference _calculate_skeletons kimimaro
-            path :160-185).
+            :65-157), ``"lee"`` (true Lee 3D thinning — the reference's
+            skimage.skeletonize_3d path :138), or ``"teasar"`` (reference
+            _calculate_skeletons kimimaro path :160-185).
     """
-    if method not in ("medial", "teasar"):
+    extractors = {"medial": _medial_points, "lee": _lee_points,
+                  "teasar": _teasar_points}
+    if method not in extractors:
         raise ValueError(f"unknown skeletonize method {method!r}")
-    extract = _medial_points if method == "medial" else _teasar_points
+    extract = extractors[method]
     scale = np.asarray(scale, np.float32)
     unique = np.unique(mask)
     unique = unique[unique != 0]

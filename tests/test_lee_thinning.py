@@ -1,0 +1,105 @@
+"""Lee 3D medial-axis thinning: topology preservation, thinness, and
+native-vs-python equivalence (reference role: skimage.skeletonize_3d in
+/root/reference/skoots/train/generate_skeletons.py:138)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from skoots_tpu.native import _py_lee_thin, has_native, lee_thin
+
+
+def _cylinder(shape=(40, 15, 15), radius=4.0, axis=0):
+    vol = np.zeros(shape, bool)
+    c = [(s - 1) / 2 for s in shape]
+    idx = np.indices(shape).astype(np.float32)
+    axes = [a for a in range(3) if a != axis]
+    r2 = (idx[axes[0]] - c[axes[0]]) ** 2 + (idx[axes[1]] - c[axes[1]]) ** 2
+    vol[r2 <= radius**2] = True
+    return vol
+
+
+def _blobs(shape=(28, 28, 20), n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, bool)
+    idx = np.indices(shape).astype(np.float32)
+    for _ in range(n):
+        c = rng.uniform(4, np.asarray(shape) - 4)
+        r = rng.uniform(2.5, 5.0)
+        d2 = sum((idx[a] - c[a]) ** 2 for a in range(3))
+        vol |= d2 <= r**2
+    return vol
+
+
+S26 = np.ones((3, 3, 3))
+
+
+class TestLeeThinning:
+    def test_cylinder_thins_to_centerline(self):
+        vol = _cylinder()
+        sk = lee_thin(vol)
+        assert sk.sum() > 0
+        # skeleton is inside the object
+        assert not (sk & ~vol).any()
+        # stays connected
+        _, n = ndimage.label(sk, structure=S26)
+        assert n == 1
+        # spans most of the cylinder length
+        xs = np.argwhere(sk)[:, 0]
+        assert xs.max() - xs.min() >= 30
+        # thin: 1-voxel-wide chain, so voxel count ~ length (not area);
+        # the full cylinder has ~2000 voxels
+        assert sk.sum() <= 60
+        # off-axis spread stays near the center
+        ys = np.argwhere(sk)[:, 1]
+        assert np.abs(ys - 7.0).max() <= 2.0
+
+    def test_topology_preserved_on_blobs(self):
+        vol = _blobs()
+        _, n_before = ndimage.label(vol, structure=S26)
+        sk = lee_thin(vol)
+        _, n_after = ndimage.label(sk, structure=S26)
+        assert n_after == n_before
+        assert not (sk & ~vol).any()
+
+    def test_idempotent_on_thin_line(self):
+        vol = np.zeros((20, 7, 7), bool)
+        vol[2:18, 3, 3] = True
+        sk = lee_thin(vol)
+        np.testing.assert_array_equal(sk, vol)
+
+    def test_hollow_loop_keeps_its_cycle(self):
+        # a thick square loop: thinning must not break the cycle (the
+        # skeleton has no endpoints and exactly one component)
+        vol = np.zeros((24, 24, 7), bool)
+        vol[4:20, 4:20, 2:5] = True
+        vol[8:16, 8:16, :] = False
+        sk = lee_thin(vol)
+        _, n = ndimage.label(sk, structure=S26)
+        assert n == 1
+        # cycle preserved: a tree has edges = vertices - 1; the loop's
+        # skeleton graph must have edges >= vertices (short spurs are a
+        # normal thinning artifact, so per-voxel degree is not asserted)
+        k = np.ones((3, 3, 3), np.uint8)
+        k[1, 1, 1] = 0
+        ncount = ndimage.convolve(sk.astype(np.uint8), k, mode="constant")
+        n_edges = int(ncount[sk].sum()) // 2
+        assert n_edges >= int(sk.sum())
+
+    @pytest.mark.skipif(not has_native(), reason="native lib not built")
+    def test_native_matches_python(self):
+        vol = _blobs(shape=(20, 20, 14), n=3, seed=7)
+        np.testing.assert_array_equal(lee_thin(vol), _py_lee_thin(
+            vol.astype(np.uint8)))
+
+    def test_calculate_skeletons_lee_method(self):
+        from skoots_tpu.train.generate_skeletons import calculate_skeletons
+
+        vol = _cylinder(shape=(30, 12, 12), radius=3.0)
+        mask = vol.astype(np.int32) * 5
+        skels = calculate_skeletons(mask, method="lee")
+        assert set(skels) == {5}
+        pts = skels[5]
+        assert pts.shape[0] >= 10
+        ij = np.round(pts).astype(int)
+        assert vol[ij[:, 0], ij[:, 1], ij[:, 2]].all()
