@@ -160,16 +160,18 @@ def main() -> int:
         int(v) for v in os.environ.get("BENCH_SHAPE", "512,512,512").split(",")
     )
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    # crop/overlap tuned for sweep redundancy (stride = crop - 2*overlap):
-    # 192x192x96 / 8,8,4 sweeps 1.43x the volume's voxels vs 3.1x at the old
-    # 128^2x64 / 16,16,8 and 6.1x in the reference (eval.py:126). Zero
-    # overlap would allow an exact 2x2x6 grid of 256^2x96 tiles (1.125x) but
-    # measurably breaks instances at tile seams (runs/seam_probe.json:
-    # touching-tubes F1 drops 1.0 -> 0.44); per-tile ms/Mvox is flat between
-    # 192^2x96 and 256^2x96 (71.8 vs 70.0) and collapses >=264^2 (VMEM
-    # cliff, 209+ ms/Mvox), so the 192^2x96 grid stands.
-    crop = tuple(int(v) for v in os.environ.get("BENCH_CROP", "192,192,96").split(","))
-    ov = tuple(int(v) for v in os.environ.get("BENCH_OVERLAP", "8,8,4").split(","))
+    # Sweep geometry: 256^2x96 tiles, zero overlap — an exact 2x2x6 grid at
+    # 512^3, 1.125x voxel redundancy (vs 1.43x at 192^2x96/(8,8,4), 3.1x at
+    # the old 128^2x64/(16,16,8), 6.1x in the reference, eval.py:126).
+    # Per-tile throughput is the measured v5e optimum (70.0 ms/Mvox; flat vs
+    # 192^2x96 at 71.8, VMEM cliff >=264^2 at 209+). Zero overlap is
+    # measured, not assumed (runs/seam_probe.json, tools/seam_probe.py):
+    # touching-tubes re-scored with seams cutting through instances keeps
+    # F1 1.0 / mean IoU 0.9976 when tiles are at or above the training crop
+    # scale; sub-scale tiles (64^3-class) fail from missing context, not
+    # from overlap trim (identical F1 0.44 at overlap 0/4/8).
+    crop = tuple(int(v) for v in os.environ.get("BENCH_CROP", "256,256,96").split(","))
+    ov = tuple(int(v) for v in os.environ.get("BENCH_OVERLAP", "0,0,0").split(","))
     attempts = [
         (shape, crop, ov),
         ((384, 384, 384), (128, 128, 64), (16, 16, 8)),

@@ -48,9 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downscaleXY", type=float, default=1.0)
     p.add_argument("--downscaleZ", type=float, default=1.0)
     p.add_argument("--skeletonize-method", dest="skeletonize_method",
-                   choices=("medial", "lee", "teasar"), default="medial",
-                   help="GT skeletonizer: EDT-ridge medial axis, true Lee 3D "
-                        "thinning, or TEASAR centerlines")
+                   choices=("lee", "medial", "teasar"), default="lee",
+                   help="GT skeletonizer: true Lee 3D thinning (the "
+                        "reference's skimage choice; default), EDT-ridge "
+                        "medial axis (faster), or TEASAR centerlines")
     p.add_argument("--convert", type=str, default=None,
                    help="convert a saved tensor/volume artifact to tif")
     p.add_argument("--log", type=int, default=2, help="log level 0-4")

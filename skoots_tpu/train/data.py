@@ -103,8 +103,15 @@ class SkootsDataset:
                 if skel_path:
                     skeletons = load_skeletons(skel_path)
                 else:
-                    log.warning("no skeleton file for %s; computing medial axes", base)
-                    skeletons = calculate_skeletons(masks)
+                    # Lee thinning (the reference's skeletonizer) when the
+                    # native kernel is built; EDT-ridge otherwise (the
+                    # python Lee fallback is too slow for on-the-fly use)
+                    from skoots_tpu.native import has_native
+
+                    method = "lee" if has_native() else "medial"
+                    log.warning("no skeleton file for %s; computing %s "
+                                "skeletons", base, method)
+                    skeletons = calculate_skeletons(masks, method=method)
                     save_skeletons(base + ".skeletons.npz", skeletons)
                 self.records.append(
                     VolumeRecord(imread(img_path).astype(np.float32), masks, skeletons, base)

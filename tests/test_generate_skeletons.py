@@ -78,7 +78,7 @@ class TestCalculateSkeletons:
 
     def test_unknown_method(self):
         with pytest.raises(ValueError):
-            calculate_skeletons(np.zeros((4, 4, 4), np.int32), method="lee")
+            calculate_skeletons(np.zeros((4, 4, 4), np.int32), method="nosuch")
 
 
 class TestMedialThinning:

@@ -49,9 +49,13 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from tools.accuracy_campaign import score
+    from tools.accuracy_campaign import INFER_KNOBS, score
     from skoots_tpu.infer import run_inference
     from skoots_tpu.utils.io import imread
+
+    # the scenario's dilation regime (without it the default stack bridges
+    # touching skeletons and every row fails identically — measured)
+    knobs = INFER_KNOBS.get(args.scenario, {})
 
     root = os.path.join("runs", "accuracy", args.scenario)
     result = json.load(open(os.path.join(root, "result.json")))
@@ -66,7 +70,7 @@ def main() -> int:
         mask = run_inference(
             val_img, ckpt, crop_size=crop, overlap=ov,
             assign_crop_size=(128, 128, 32), assign_overlap=(0, 0, 0),
-            embed_iterations=10,
+            embed_iterations=10, **knobs,
         )
         r = {"overlap": list(ov), "crop": list(crop),
              **score(gt, np.asarray(mask).squeeze())}

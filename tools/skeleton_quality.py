@@ -120,7 +120,7 @@ def main() -> int:
     for name, gen in SHAPES.items():
         mask = gen()
         rows[name] = {}
-        for method in ("medial", "teasar"):
+        for method in ("medial", "lee", "teasar"):
             skels = calculate_skeletons(mask, scale=(1.0, 1.0, 3.0),
                                         method=method)
             rows[name][method] = score_skeleton(mask, skels[1])
