@@ -99,6 +99,9 @@ def _run(shape, crop, overlap, repeats) -> dict:
     t0 = time.time()
     chk, _ = once()
     compile_s = time.time() - t0
+    # first-call phase split attributes the warm-start cost (trace+lower+
+    # cache-load+execute) to pipeline stages
+    first_phases = dict(getattr(run, "last_phase_s", {}))
 
     times = []
     phases = {}
@@ -146,6 +149,7 @@ def _run(shape, crop, overlap, repeats) -> dict:
         "checksum": chk,
         "shape": list(shape),
         "phase_s": phases,
+        "phase_s_first": first_phases,
         "model_flops_per_vox": (
             round(model_flops_tile / tile_vox, 1) if model_flops_tile > 0 else None
         ),
@@ -193,6 +197,7 @@ def main() -> int:
                             "compile_s": round(res["compile_s"], 1),
                             "shape": res["shape"],
                             "phase_s": res.get("phase_s"),
+                            "phase_s_first": res.get("phase_s_first"),
                             "model_flops_per_vox": res.get("model_flops_per_vox"),
                             "e2e_tflops": res.get("e2e_tflops"),
                             "mfu_e2e": res.get("mfu_e2e"),

@@ -285,6 +285,27 @@ def run_scenario(scenario: str, outdir: str, epochs: int,
 
     result["ok"] = bool(result.get("f1_at_iou50", 0) >= BARS[scenario])
     result["bar"] = BARS[scenario]
+    if not result["ok"] and scenario != "perslice":
+        # self-explaining failure: semantic head precision/recall against GT
+        # foreground from the persisted phase-1 buffer (separates "semantic
+        # mask is fat/thin" from "assignment merged/split instances")
+        try:
+            stem = os.path.splitext(os.path.join(
+                os.path.join(root, "val"), "val.tif"))[0]
+            sem = np.load(stem + "_skoots_semantic.npy", mmap_mode="r")
+            gt_fg = np.asarray(
+                imread(os.path.join(root, "val", "val.labels.tif"))
+            ).squeeze() > 0
+            pred_fg = np.asarray(sem).squeeze() > 0.5
+            tp_v = float((pred_fg & gt_fg).sum())
+            result["diag_semantic"] = {
+                "precision": round(tp_v / max(pred_fg.sum(), 1), 4),
+                "recall": round(tp_v / max(gt_fg.sum(), 1), 4),
+                "pred_fg_frac": round(float(pred_fg.mean()), 4),
+                "gt_fg_frac": round(float(gt_fg.mean()), 4),
+            }
+        except Exception as e:  # diagnostics must never fail the campaign
+            result["diag_semantic"] = {"error": repr(e)}
     result["wall_s"] = round(time.time() - t_start, 1)
     with open(os.path.join(root, "result.json"), "w") as f:
         json.dump(result, f, indent=2)
