@@ -49,8 +49,11 @@ def _run(shape, crop, overlap, repeats) -> dict:
 
     from skoots_tpu.utils.compile_cache import enable_compilation_cache
 
+    setup_s = {}
+    t0 = time.time()
     enable_compilation_cache()
     _wait_healthy()
+    setup_s["backend_init"] = round(time.time() - t0, 1)
 
     from skoots_tpu.config import get_cfg_defaults
     from skoots_tpu.infer.device_pipeline import make_chunked_pipeline
@@ -61,15 +64,21 @@ def _run(shape, crop, overlap, repeats) -> dict:
 
     # init params in ONE jitted program (per-leaf host init is pathologically
     # slow through the axon relay)
+    t0 = time.time()
     dummy = jnp.zeros((1, 64, 64, 16, 1), jnp.float32)
     params = jax.jit(
         lambda k: model.init({"params": k}, dummy, deterministic=True)
     )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    setup_s["param_init"] = round(time.time() - t0, 1)
 
     # synthesize the volume ON DEVICE: no bulk host->device transfer
+    t0 = time.time()
     volume = jax.jit(
         lambda k: jax.random.uniform(k, shape, jnp.float32, 0.0, 255.0)
     )(jax.random.PRNGKey(1))
+    volume.block_until_ready()
+    setup_s["volume_synth"] = round(time.time() - t0, 1)
 
     mean, std = jnp.float32(128.0), jnp.float32(64.0)
 
@@ -150,6 +159,7 @@ def _run(shape, crop, overlap, repeats) -> dict:
         "shape": list(shape),
         "phase_s": phases,
         "phase_s_first": first_phases,
+        "setup_s": setup_s,
         "model_flops_per_vox": (
             round(model_flops_tile / tile_vox, 1) if model_flops_tile > 0 else None
         ),
@@ -198,6 +208,7 @@ def main() -> int:
                             "shape": res["shape"],
                             "phase_s": res.get("phase_s"),
                             "phase_s_first": res.get("phase_s_first"),
+                            "setup_s": res.get("setup_s"),
                             "model_flops_per_vox": res.get("model_flops_per_vox"),
                             "e2e_tflops": res.get("e2e_tflops"),
                             "mfu_e2e": res.get("mfu_e2e"),
