@@ -225,10 +225,15 @@ def run_scenario(scenario: str, outdir: str, epochs: int,
         from skoots_tpu.infer.perslice import perslice_segment
         from skoots_tpu.train.checkpoint import load_checkpoint
 
-        # phase 1 once through the engine (persists vec/skel/semantic)
+        # phase 1 once through the engine (persists vec/skel/semantic),
+        # with the aniso scenario's dilation regime — the default stack
+        # bridges the crowded tubes' skeletons and the per-slice CC then
+        # merges them (measured: 7 GT tubes collapsed into one 2D instance,
+        # F1 0.743; scenario knobs restore per-tube separation)
         run_inference(val_img, aniso_ckpt, crop_size=(192, 192, 32),
                       overlap=(0, 0, 0), assign_crop_size=(192, 192, 32),
-                      assign_overlap=(0, 0, 0), embed_iterations=1)
+                      assign_overlap=(0, 0, 0), embed_iterations=1,
+                      **INFER_KNOBS.get("aniso", {}))
         stem = os.path.splitext(val_img)[0]
         vectors = np.load(stem + "_skoots_vectors.npy", mmap_mode="r")
         skeleton = np.load(stem + "_skoots_skeleton.npy", mmap_mode="r")
