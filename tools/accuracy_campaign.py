@@ -54,6 +54,10 @@ BARS = {"separated": 0.8, "touching": 0.8, "aniso": 0.8, "blobs": 0.8,
 INFER_KNOBS = {
     "touching": {"dilation_3d": 0, "dilation_2d": 1},
     "aniso": {"dilation_3d": 0, "dilation_2d": 1},
+    # blobs sit ~4 voxels apart: the default 2x2D dilation bridges one
+    # skeleton pair (17 CC); (1,1) keeps 18 of the model's 18 separable
+    # skeletons (the 19th is merged at the model level — no knob helps)
+    "blobs": {"dilation_3d": 1, "dilation_2d": 1},
 }
 
 
