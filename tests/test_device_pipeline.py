@@ -80,6 +80,28 @@ class TestBalancedChunks:
 
 
 class TestChunkedPipeline:
+    def test_zero_overlap_exact_grid(self):
+        """The bench geometry: zero overlap, clamped last-origin tiles (the
+        512^3 bench sweeps an exact 2x2x6 grid). Chunked must equal the
+        single program."""
+        from skoots_tpu.infer.device_pipeline import segment_volume_chunked
+
+        cfg = get_cfg_defaults()
+        cfg.MODEL.DIMS = [4, 8, 16, 8, 4]
+        cfg.MODEL.DEPTHS = [1, 1, 1, 1, 1]
+        cfg.MODEL.OUT_CHANNELS = 4
+        cfg.MODEL.KERNEL_SIZE = 3
+        model, params = init_model(cfg, jax.random.PRNGKey(0), spatial=(16, 16, 8))
+        shape = (64, 64, 24)  # z: 12-crop grid clamps its last origin
+        vol = jnp.asarray(np.random.default_rng(1).random(shape, np.float32) * 255)
+        mean, std = jnp.float32(128.0), jnp.float32(64.0)
+        kwargs = dict(crop=(32, 32, 12), overlap=(0, 0, 0), embed_iterations=2)
+        single = make_device_pipeline(model, shape, **kwargs)(params, vol, mean, std)
+        chunked = segment_volume_chunked(
+            model, params, vol, mean, std, tiles_per_dispatch=3, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
+
     @pytest.mark.slow
     def test_chunked_matches_single_program(self):
         import jax
