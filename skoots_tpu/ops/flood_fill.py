@@ -33,7 +33,7 @@ from skoots_tpu.ops.cropper import crop_origins, effective_crop_size
 @partial(
     jax.jit,
     static_argnames=("max_rounds", "connectivity", "propagates_per_round",
-                     "jumps_per_round"),
+                     "jumps_per_round", "return_converged"),
 )
 def label_components(
     binary: jax.Array,
@@ -41,6 +41,7 @@ def label_components(
     connectivity: int = 26,
     propagates_per_round: int = 1,
     jumps_per_round: int = 2,
+    return_converged: bool = False,
 ) -> jax.Array:
     """Label connected components of a 3D binary mask on device.
 
@@ -58,11 +59,19 @@ def label_components(
         jumps_per_round: pointer-jump (path-halving) gathers per round; 0
             disables jumping entirely (pure label propagation — fastest
             unless component diameters are huge).
+        return_converged: if True, also return a bool scalar that is True iff
+            the fixpoint was reached (the loop exited because nothing changed,
+            not because ``max_rounds`` was hit). With ``jumps_per_round=0``
+            the reach per round is only ``propagates_per_round`` hops, so a
+            skeleton path longer than ``max_rounds * propagates_per_round``
+            exits non-converged and the component is silently split — callers
+            on that schedule should check this flag.
 
     Returns:
         ``[X, Y, Z]`` int32: 0 background, equal values = same component.
         Label values are (raveled index + 1) of the component maximum — unique
         but non-sequential, like the reference (flood_fill.py:15-19).
+        With ``return_converged``: ``(labels, converged bool scalar)``.
     """
     x, y, z = binary.shape
     fg = binary > 0
@@ -117,7 +126,11 @@ def label_components(
             new = jump(new)
         return i + 1, new, jnp.any(new != lab)
 
-    _, labels, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
+    _, labels, changed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(True))
+    )
+    if return_converged:
+        return labels, jnp.logical_not(changed)
     return labels
 
 

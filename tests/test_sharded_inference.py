@@ -159,6 +159,56 @@ class TestShardedPipeline:
             (64, 32, 8)
         }
 
+    def test_cc_converges_past_round_budget_and_warns_at_cap(self, setup):
+        """ADVICE r3 (medium): propagate-only CC must not silently split a
+        long snaking instance. The host-polled rounds keep dispatching past
+        the caller's cc_rounds budget (up to an extent-scaled cap), and a
+        path longer than the cap raises a RuntimeWarning instead of failing
+        silently."""
+        import warnings
+
+        from skoots_tpu.infer.sharded import make_sharded_pipeline
+
+        model, params, mesh = setup
+        shape = (64, 32, 8)
+        run = make_sharded_pipeline(
+            model, mesh, shape, vector_scale=(8.0, 8.0, 4.0),
+            embed_iterations=2, cc_rounds=2, cc_propagates_per_round=4,
+        )
+        # serpentine 1-voxel path in the z=0 plane: length ~64*16 = 1024 hops
+        # >> cc_rounds*propagates = 8, and > the extent cap 4*(64+32+8)=416
+        snake = np.zeros(shape, np.uint8)
+        for j in range(0, 32, 2):
+            snake[:, j, 0] = 1  # full-x runs
+            # connect alternating ends
+            snake[-1 if (j // 2) % 2 == 0 else 0, j + 1, 0] = 1
+        skel = jax.device_put(
+            jnp.asarray(snake), jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("space")),
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            labels = run.cc(skel)
+        assert any("before convergence" in str(w.message) for w in rec), (
+            [str(w.message) for w in rec])
+
+        # a path longer than the cc_rounds budget but under the extent cap
+        # converges to ONE label with no warning (adaptive dispatching)
+        short = np.zeros(shape, np.uint8)
+        short[:, 0, 0] = 1
+        short[-1, 1, 0] = 1
+        short[:, 2, 0] = 1  # ~192 hops > 8-hop budget, < 416 cap
+        skel2 = jax.device_put(
+            jnp.asarray(short), jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("space")),
+        )
+        with warnings.catch_warnings(record=True) as rec2:
+            warnings.simplefilter("always")
+            lab2 = np.asarray(run.cc(skel2))
+        assert not any("before convergence" in str(w.message) for w in rec2)
+        vals = np.unique(lab2[lab2 > 0])
+        assert len(vals) == 1, f"snake split into {len(vals)} labels"
+
     def test_non_divisible_shape_is_padded(self, setup):
         """X=60 is not divisible by the 8-way 'space' axis; the pipeline must
         pad internally and trim back."""
