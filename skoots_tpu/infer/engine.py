@@ -370,6 +370,15 @@ def run_inference(
     vec_path = stem + "_skoots_vectors.npy"
     skel_path = stem + "_skoots_skeleton.npy"
     sem_path = stem + "_skoots_semantic.npy"
+    # phase-1 knobs travel WITH the cached buffers: the skeleton buffer has
+    # threshold/dilation baked in, so a reload must compare against what the
+    # producing run actually used, not against the CLI defaults (ADVICE r3)
+    knobs_path = stem + "_skoots_phase1.json"
+    phase1_knobs = {
+        "prob_threshold": prob_threshold,
+        "dilation_3d": dilation_3d,
+        "dilation_2d": dilation_2d,
+    }
 
     if out_of_core is None:
         out_of_core = x * y * z > 256**3
@@ -377,11 +386,34 @@ def run_inference(
     if use_cached_data and all(
         os.path.exists(p) for p in (vec_path, skel_path, sem_path)
     ):
-        if (dilation_3d, dilation_2d) != (1, 2) or prob_threshold != 0.8:
+        import json as _json
+
+        recorded = None
+        if os.path.exists(knobs_path):
+            try:
+                with open(knobs_path) as f:
+                    recorded = _json.load(f)
+            except (ValueError, OSError):
+                recorded = None
+        if recorded is not None:
+            diffs = {
+                k: (recorded.get(k), v)
+                for k, v in phase1_knobs.items()
+                if recorded.get(k) != v
+            }
+            if diffs:
+                log.warning(
+                    "use_cached_data: cached phase-1 buffers were produced "
+                    "with different knobs than requested — the recorded "
+                    "values stay baked in: %s",
+                    {k: f"cached={a} requested={b}" for k, (a, b) in diffs.items()},
+                )
+        elif (dilation_3d, dilation_2d) != (1, 2) or prob_threshold != 0.8:
             log.warning(
-                "use_cached_data: cached skeleton buffer already has the "
-                "threshold/dilation from its original run baked in; "
-                "--dilate-3d/--dilate-2d/prob_threshold are ignored"
+                "use_cached_data: no phase-1 sidecar (%s) — the cached "
+                "skeleton buffer has its original run's threshold/dilation "
+                "baked in; --dilate-3d/--dilate-2d/prob_threshold are ignored",
+                os.path.basename(knobs_path),
             )
         vectors = np.load(vec_path, mmap_mode="r")
         skeleton_u8 = np.load(skel_path, mmap_mode="r")
@@ -421,6 +453,10 @@ def run_inference(
             np.save(vec_path, vectors)
             np.save(skel_path, skeleton_u8)
             np.save(sem_path, semantic_u8)
+        import json as _json
+
+        with open(knobs_path, "w") as f:
+            _json.dump(phase1_knobs, f)
 
     # ---------------------------------------------------------------- phase 2
     log.info("phase 2: flood fill")

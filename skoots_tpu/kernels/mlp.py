@@ -79,13 +79,14 @@ def _kernel(x_ref, s_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = h.astype(x.dtype)
     a = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
     a = a.astype(x.dtype) + b1_ref[...].astype(x.dtype)
-    # gelu via the tanh form (tanh HAS a Mosaic lowering; erf/erfc do not,
-    # and the A&S erf polynomial needs a divide + exp — this chain is
-    # VPU-issue-bound, so op count is the budget). |tanh-form - erf-form|
-    # <= 1.5e-3, sub-ULP in the bf16 output almost everywhere.
+    # exact-erf gelu via the A&S polynomial (Mosaic has no erf lowering):
+    # |err| <= 1.5e-7, so the fused forward computes the SAME function as
+    # the XLA fallback and the custom_vjp backward (both erf, matching the
+    # reference's torch nn.GELU default) — the tanh form's 1e-3-scale skew
+    # made gradients correspond to a slightly different function than the
+    # forward whenever the fused path was active (ADVICE r3).
     af = a.astype(jnp.float32)
-    c = np.sqrt(2.0 / np.pi).astype(np.float32)
-    a = (0.5 * af * (1.0 + jnp.tanh(c * (af + 0.044715 * af * af * af)))
+    a = (0.5 * af * (1.0 + _erf(af * np.float32(1.0 / np.sqrt(2.0))))
          ).astype(x.dtype)
     y = jnp.dot(a, w2_ref[...], preferred_element_type=jnp.float32)
     y = y.astype(x.dtype) + b2_ref[...].astype(x.dtype)

@@ -382,7 +382,10 @@ def efficient_flood_fill(
             tile = np.array(labeled_tile, np.int32)
             offset = next_label
             next_label += int(count)
-            assert next_label < 2**31 - 1, "instance count exceeds int32"
+            if next_label >= 2**31 - 1:  # not an assert: must survive python -O
+                raise RuntimeError(
+                    f"instance count {next_label} exceeds int32 label range"
+                )
         else:
             tile = np.array(labeled_tile, np.int32)
             offset = t * tile_span

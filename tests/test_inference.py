@@ -123,6 +123,40 @@ class TestRunInference:
         )
         np.testing.assert_array_equal(m1, m2)
 
+    def test_cached_knob_mismatch_warns_from_sidecar(self, tiny_ckpt,
+                                                     tube_tif, caplog):
+        """ADVICE r3: the phase-1 knobs (threshold/dilation) are persisted in
+        a sidecar next to the cached buffers, and a reload with DIFFERENT
+        knobs warns — including a cache produced with non-default knobs
+        reloaded with default flags (the case the old default-comparison
+        check silently missed)."""
+        import json
+        import logging
+
+        from skoots_tpu.infer import run_inference
+
+        path, _ = tube_tif
+        kw = dict(crop_size=(48, 48, 8), overlap=(8, 8, 0),
+                  assign_crop_size=(48, 48, 8), assign_overlap=(8, 8, 0))
+        # produce the cache with NON-default knobs
+        run_inference(path, tiny_ckpt, dilation_3d=0, dilation_2d=1, **kw)
+        stem = os.path.splitext(path)[0]
+        with open(stem + "_skoots_phase1.json") as f:
+            assert json.load(f) == {
+                "prob_threshold": 0.8, "dilation_3d": 0, "dilation_2d": 1}
+        # reload with DEFAULT flags -> must warn (old check stayed silent)
+        with caplog.at_level(logging.WARNING, "skoots_tpu.infer.engine"):
+            run_inference(path, tiny_ckpt, use_cached_data=True, **kw)
+        assert any("different knobs" in r.message % r.args if r.args
+                   else "different knobs" in r.message
+                   for r in caplog.records), caplog.records
+        # reload with MATCHING knobs -> no warning
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, "skoots_tpu.infer.engine"):
+            run_inference(path, tiny_ckpt, use_cached_data=True,
+                          dilation_3d=0, dilation_2d=1, **kw)
+        assert not any("knob" in str(r.message) for r in caplog.records)
+
 
 class TestTileVsWhole:
     def test_oracle_segmentation_exact(self):

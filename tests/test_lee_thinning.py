@@ -103,3 +103,21 @@ class TestLeeThinning:
         assert pts.shape[0] >= 10
         ij = np.round(pts).astype(int)
         assert vol[ij[:, 0], ij[:, 1], ij[:, 2]].all()
+
+    def test_skimage_reference_comparison(self):
+        """Documented parity deviation (PARITY.md, ADVICE r3): the
+        opposite-side-support rule stops the ribbon zipper collapse but means
+        border-touching thin structures are never peeled from the
+        border-facing direction. Where the rule is inert (objects away from
+        the volume border, odd diameters), the skeleton should agree with
+        skimage.skeletonize_3d up to the usual centerline ambiguity: every
+        skimage skeleton voxel within 1 hop of ours and vice versa."""
+        skimage_morph = pytest.importorskip("skimage.morphology")
+
+        vol = _cylinder(shape=(41, 15, 15), radius=3.0)  # odd length, interior
+        ours = lee_thin(vol)
+        ref = skimage_morph.skeletonize(vol, method="lee") > 0
+        grown_ref = ndimage.binary_dilation(ref, S26)
+        grown_ours = ndimage.binary_dilation(ours, S26)
+        assert (ours & ~grown_ref).sum() == 0
+        assert (ref & ~grown_ours).sum() == 0
