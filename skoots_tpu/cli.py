@@ -59,15 +59,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial-shards", dest="spatial_shards", type=int, default=0,
                    help="shard the volume's X axis over this many devices "
                         "(multi-chip spatially-partitioned inference)")
-    p.add_argument("--dilate-3d", dest="dilation_3d", type=int, default=1,
+    p.add_argument("--dilate-3d", dest="dilation_3d", type=int, default=None,
                    help="3D dilation steps applied to the thresholded skeleton "
-                        "map before connected components (default 1, reference "
-                        "eval.py:152-157). Each step bridges ~2 voxels: keep "
-                        "total dilation below half the minimum inter-skeleton "
-                        "gap or adjacent instances merge")
-    p.add_argument("--dilate-2d", dest="dilation_2d", type=int, default=2,
+                        "map before connected components. Default: auto — "
+                        "derived from the predicted skeleton spacing measured "
+                        "on probe tiles (infer/autoknobs.py); the reference's "
+                        "fixed stack is 1 (eval.py:152-157). Each step bridges "
+                        "~2 voxels: keep total dilation below half the minimum "
+                        "inter-skeleton gap or adjacent instances merge")
+    p.add_argument("--dilate-2d", dest="dilation_2d", type=int, default=None,
                    help="in-plane (XY) dilation steps after the 3D steps "
-                        "(default 2, reference eval.py:152-157)")
+                        "(default: auto; reference fixed stack is 2, "
+                        "eval.py:152-157)")
+    p.add_argument("--experimental", action="store_true",
+                   help="use the experimental tuned knob set (prob 0.5, "
+                        "3x 2D dilation, decaying embedding walk — reference "
+                        "experimental/eval.py:138-146,253-255); explicit "
+                        "flags still override")
     return p
 
 
@@ -102,7 +110,10 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
-    from skoots_tpu.infer import run_inference
+    if args.experimental:
+        from skoots_tpu.experimental.eval import eval as infer_fn
+    else:
+        from skoots_tpu.infer import run_inference as infer_fn
 
     if os.path.isdir(args.image):
         files = sorted(glob.glob(os.path.join(args.image, "*.tif")))
@@ -111,7 +122,7 @@ def main(argv=None) -> int:
         files = [args.image]
 
     for f in files:
-        run_inference(
+        infer_fn(
             f,
             args.pretrained_checkpoint,
             use_cached_data=args.use_cached,

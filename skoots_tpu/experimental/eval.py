@@ -13,10 +13,20 @@ import numpy as np
 from skoots_tpu.infer.engine import run_inference
 
 
+_TUNED = {
+    "prob_threshold": 0.5,
+    "dilation_3d": 0,
+    "dilation_2d": 3,
+    "embed_iterations": 10,
+    "embed_decay": 0.95,
+}
+
+
 def eval(image_path: str, checkpoint_path: str, **kwargs) -> np.ndarray:
-    kwargs.setdefault("prob_threshold", 0.5)
-    kwargs.setdefault("dilation_3d", 0)
-    kwargs.setdefault("dilation_2d", 3)
-    kwargs.setdefault("embed_iterations", 10)
-    kwargs.setdefault("embed_decay", 0.95)
+    """Run the engine with the experimental knob set. A kwarg passed as
+    None counts as unset (the CLI forwards auto-mode dilation knobs as
+    None) so the tuned value still applies."""
+    for k, v in _TUNED.items():
+        if kwargs.get(k) is None:
+            kwargs[k] = v
     return run_inference(image_path, checkpoint_path, **kwargs)

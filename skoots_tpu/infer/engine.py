@@ -29,6 +29,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -242,6 +243,33 @@ def _write_interior(out_arr, tile, origin, crop, overlap, pads, spatial):
     out_arr[tuple(dst)] = tile[tuple(src)]
 
 
+def _probe_dilation(model, params, mean, std, prob_thr, volume, crop, ov,
+                    anisotropy, n_probe: int = 4):
+    """Measured skeleton spacing from up to ``n_probe`` center-most phase-1
+    tiles run with NO dilation (see infer.autoknobs). Returns the minimum
+    gap across probes, or None when no probe shows >= 2 sizeable
+    components."""
+    from skoots_tpu.infer.autoknobs import estimate_skeleton_gap
+
+    spatial = volume.shape[:3]
+    pads = [_pad_amounts(d, c, o) for d, c, o in zip(spatial, crop, ov)]
+    padded_shape = tuple(d + p[0] + p[1] for d, p in zip(spatial, pads))
+    origins = crop_origins(padded_shape, crop, ov)
+    center = [ps / 2 - c / 2 for ps, c in zip(padded_shape, crop)]
+    origins = sorted(
+        origins, key=lambda o: sum((a - b) ** 2 for a, b in zip(o, center))
+    )[:n_probe]
+    probe_fn = _make_tile_fn(model, params, mean, std, prob_thr, 0, 0)
+    gap = None
+    for o in origins:
+        tile = _read_tile(volume, o, crop, pads)
+        _, skel, _ = probe_fn(jnp.asarray(tile[None, ...], jnp.float32))
+        g = estimate_skeleton_gap(np.asarray(skel)[0, ..., 0], anisotropy)
+        if g is not None:
+            gap = g if gap is None else min(gap, g)
+    return gap
+
+
 def run_inference(
     image_path: str,
     checkpoint_path: str,
@@ -254,12 +282,13 @@ def run_inference(
     embed_iterations: int = 10,
     embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
-    dilation_3d: int = 1,
-    dilation_2d: int = 2,
+    dilation_3d: int | None = None,
+    dilation_2d: int | None = None,
     batch: int = 1,
-    spatial_shards: int = 0,
+    spatial_shards: int | None = 0,
     output_path: Optional[str] = None,
     out_of_core: Optional[bool] = None,
+    semantic_gate: bool = True,
 ) -> np.ndarray:
     """Segment a volume. Writes ``<image>_instance_mask.tif`` and
     ``<image>_skoots_benchmark.txt`` (reference contract, eval.py:285-310).
@@ -274,6 +303,13 @@ def run_inference(
     so host RSS stays bounded for volumes larger than RAM (the zarr role in
     the reference, eval.py:101-111). Default: automatic for volumes over
     256^3.
+
+    ``semantic_gate=False`` disables the assignment-phase foreground gate
+    for strict reference semantics (eval.py:277 applies none): background
+    voxels under the dilated-skeleton halo then self-gather a label, which
+    fattens every instance by the dilation radius. The default gate keeps
+    masks at the model's semantic boundary (measured: instance IoU vs GT
+    0.999 gated vs 0.22 ungated on the parity volume, runs/parity/).
 
     Returns the instance mask ``[X, Y, Z]`` int32 (a memmap when
     out-of-core).
@@ -323,8 +359,25 @@ def run_inference(
         mean, std = _stream_stats()
     vec_scale = tuple(cfg.SKOOTS.VECTOR_SCALING)
 
+    if spatial_shards is None:
+        # auto (the CLI default): shard over every device when >1 is
+        # present and the volume fits the sharded pipeline's per-device
+        # ceiling; otherwise use the host-streaming engine
+        from skoots_tpu.infer.sharded import (
+            device_bytes_limit,
+            resolve_spatial_shards,
+        )
+
+        spatial_shards = resolve_spatial_shards(
+            None, len(jax.devices()), (x, y, z), device_bytes_limit()
+        )
+
     if spatial_shards and spatial_shards > 1:
-        from skoots_tpu.infer.sharded import make_sharded_pipeline
+        from skoots_tpu.infer.sharded import (
+            device_bytes_limit,
+            estimated_bytes_per_device,
+            make_sharded_pipeline,
+        )
         from skoots_tpu.parallel import make_mesh
 
         n_dev = len(jax.devices())
@@ -333,6 +386,21 @@ def run_inference(
                 f"--spatial-shards {spatial_shards} needs that many devices, "
                 f"have {n_dev}"
             )
+        limit = device_bytes_limit()
+        if limit is not None:
+            need = estimated_bytes_per_device((x, y, z), spatial_shards)
+            if need > limit:
+                # the documented ceiling (infer/sharded.py pipeline
+                # docstring): the phase-3 walk keeps whole-volume gather
+                # semantics, so per-device memory cannot shrink below the
+                # full vector field. Fail with the remedy instead of OOMing.
+                raise ValueError(
+                    f"--spatial-shards {spatial_shards}: this volume needs "
+                    f"~{need / 1e9:.1f} GB/device in the sharded pipeline "
+                    f"(phase-3 whole-volume walk) but devices have "
+                    f"{limit / 1e9:.1f} GB. Use the host-streaming engine "
+                    "(--spatial-shards 0), whose phase 3 is O(tile)."
+                )
         mesh = make_mesh(data=1, space=spatial_shards,
                          devices=jax.devices()[:spatial_shards])
         run = make_sharded_pipeline(
@@ -374,18 +442,59 @@ def run_inference(
     # threshold/dilation baked in, so a reload must compare against what the
     # producing run actually used, not against the CLI defaults (ADVICE r3)
     knobs_path = stem + "_skoots_phase1.json"
+
+    if out_of_core is None:
+        out_of_core = x * y * z > 256**3
+
+    cache_hit = use_cached_data and all(
+        os.path.exists(p) for p in (vec_path, skel_path, sem_path)
+    )
+
+    if dilation_3d is None or dilation_2d is None:
+        # auto mode (the default): derive the stack from the data instead
+        # of hard-coding the reference's fixed 1x3D+2x2D (eval.py:152-157),
+        # which silently merges instances once predicted-skeleton spacing
+        # shrinks to ~4 voxels (round-3 campaign evidence, BASELINE.md)
+        from skoots_tpu.infer.autoknobs import (
+            REFERENCE_STACK,
+            derive_dilation,
+        )
+
+        if cache_hit:
+            # the cached skeleton has its producing run's stack baked in —
+            # adopt it (sidecar) rather than probing a buffer we won't use
+            rec = {}
+            if os.path.exists(knobs_path):
+                try:
+                    with open(knobs_path) as f:
+                        rec = json.load(f)
+                except (ValueError, OSError):
+                    rec = {}
+            d3, d2 = (int(rec.get("dilation_3d", REFERENCE_STACK[0])),
+                      int(rec.get("dilation_2d", REFERENCE_STACK[1])))
+        else:
+            gap = _probe_dilation(
+                model, params, mean, std, prob_threshold, volume[..., None],
+                crop, ov, tuple(cfg.SKOOTS.ANISOTROPY),
+            )
+            d3, d2 = derive_dilation(gap, tuple(cfg.SKOOTS.ANISOTROPY))
+            log.info(
+                "auto dilation: measured skeleton spacing %s voxels -> "
+                "stack 3d=%d 2d=%d (reference fixed stack: 1/2; override "
+                "with --dilate-3d/--dilate-2d)",
+                "n/a" if gap is None else f"{gap:.1f}", d3, d2,
+            )
+        # an explicitly-passed knob always wins over the derived one
+        dilation_3d = d3 if dilation_3d is None else dilation_3d
+        dilation_2d = d2 if dilation_2d is None else dilation_2d
+
     phase1_knobs = {
         "prob_threshold": prob_threshold,
         "dilation_3d": dilation_3d,
         "dilation_2d": dilation_2d,
     }
 
-    if out_of_core is None:
-        out_of_core = x * y * z > 256**3
-
-    if use_cached_data and all(
-        os.path.exists(p) for p in (vec_path, skel_path, sem_path)
-    ):
+    if cache_hit:
         import json as _json
 
         recorded = None
@@ -510,9 +619,16 @@ def run_inference(
         tiles = np.stack(
             [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
         )  # stays float16: half the H2D bytes; 3a casts on device
-        fg = np.stack(
-            [_read_tile(semantic_u8, o, a_crop, pads) for o in batch_origins]
-        )
+        if semantic_gate:
+            fg = np.stack(
+                [_read_tile(semantic_u8, o, a_crop, pads)
+                 for o in batch_origins]
+            )
+        else:
+            # strict reference semantics (eval.py:277): no gate — any voxel
+            # whose walked embedding lands on a labeled skeleton gets that
+            # label, including the dilated-skeleton background halo
+            fg = np.ones((len(batch_origins), *a_crop), np.uint8)
         # offsets map padded-tile coords back into unpadded volume coords
         offs = np.asarray(
             [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],

@@ -12,8 +12,9 @@ the ``data`` axis to batch multiple volumes.
 
 from __future__ import annotations
 
+import logging
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,74 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from skoots_tpu.ops.morphology import binary_dilation, binary_dilation_2d
 from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+log = logging.getLogger(__name__)
+
+
+def estimated_bytes_per_device(
+    volume_shape: Tuple[int, int, int], n_space: int
+) -> int:
+    """Conservative per-device HBM estimate for the sharded pipeline.
+
+    The phase-3 embedding walk keeps whole-volume gather semantics (the
+    docstring of :func:`make_sharded_pipeline` documents the ceiling): each
+    walk step indexes arbitrary positions of the vector field, so XLA
+    all-gathers the f32 field (12 B/vox) onto every device. The device's
+    own sharded slabs (vec bf16 + emb/index f32 + labels i32) add roughly
+    another 30 B/vox / n_space.
+    """
+    x, y, z = volume_shape
+    vox = x * y * z
+    return 12 * vox + (30 * vox) // max(1, n_space)
+
+
+def device_bytes_limit() -> Optional[int]:
+    """Per-device memory budget, when the backend reports one (TPU HBM);
+    None on backends without memory_stats (CPU test meshes)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return stats.get("bytes_limit")
+    except Exception:
+        return None
+
+
+def resolve_spatial_shards(
+    requested: Optional[int],
+    n_devices: int,
+    volume_shape: Tuple[int, int, int],
+    bytes_limit: Optional[int] = None,
+) -> int:
+    """Pick the spatial shard count. ``requested=None`` means auto: use
+    every device when more than one is present AND the volume fits the
+    sharded pipeline's per-device memory ceiling — otherwise fall back to
+    the host-streaming engine (0). Explicit values (0/1 = off) pass
+    through untouched; the caller errors on an explicitly-requested but
+    infeasible configuration rather than silently changing it."""
+    if requested is not None:
+        return requested
+    if n_devices <= 1:
+        return 0
+    n = min(n_devices, max(1, volume_shape[0] // 8))
+    if n <= 1:
+        return 0
+    if bytes_limit is not None:
+        need = estimated_bytes_per_device(volume_shape, n)
+        if need > bytes_limit:
+            log.warning(
+                "auto spatial sharding disabled: the sharded pipeline's "
+                "phase-3 walk needs ~%.1f GB/device for this volume "
+                "(whole-volume gather semantics) but devices report "
+                "%.1f GB; using the host-streaming engine (O(tile) "
+                "memory) instead",
+                need / 1e9, bytes_limit / 1e9,
+            )
+            return 0
+    log.info(
+        "auto spatial sharding: %d devices present -> sharding the "
+        "volume's X axis %d-way (disable with --spatial-shards 0)",
+        n_devices, n,
+    )
+    return n
 
 
 def make_sharded_forward(

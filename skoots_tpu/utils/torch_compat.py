@@ -353,6 +353,95 @@ def map_torch_state(params, torch_state: Dict[str, np.ndarray], cfg):
     return new_params, len(updates), unmapped, unfilled
 
 
+def _from_flax_convention(
+    arr: np.ndarray, want_shape: Tuple[int, ...]
+) -> np.ndarray | None:
+    """Inverse of :func:`_to_flax_convention`: re-express a flax leaf in the
+    torch convention matching ``want_shape``; None if impossible."""
+    shape = tuple(arr.shape)
+    if len(want_shape) == 5:
+        if len(shape) == 5:  # conv kernel [kx,ky,kz,I,O] -> [O,I,kx,ky,kz]
+            cand = np.transpose(arr, (4, 3, 0, 1, 2))
+            return cand if cand.shape == tuple(want_shape) else None
+        if len(shape) == 2 and tuple(want_shape[2:]) == (1, 1, 1):
+            cand = arr.T[:, :, None, None, None]  # Dense -> 1^3 conv
+            return cand if cand.shape == tuple(want_shape) else None
+        return None
+    if len(want_shape) == 2:
+        return arr.T if arr.T.shape == tuple(want_shape) else None
+    return arr if shape == tuple(want_shape) else None
+
+
+def export_torch_state(params, torch_state: Dict[str, np.ndarray], cfg):
+    """The reverse of :func:`map_torch_state`: fill a torch ``state_dict``
+    template (numpy values, e.g. from a freshly-built twin) with the flax
+    parameter values, pairing tensors with the same name/order logic.
+
+    Returns ``(new_state: Dict[str, np.ndarray], exported_count,
+    skipped_torch_keys, unused_flax_paths)``.
+    """
+    import jax
+
+    roles = ordered_flax_roles(cfg)
+    flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+
+    def leaf_at(path: Path):
+        for kp, leaf in flat.items():
+            if tuple(getattr(k, "key", k) for k in kp) == path:
+                return leaf
+        raise KeyError(path)
+
+    t_items = [
+        (k, v) for k, v in torch_state.items()
+        if np.issubdtype(v.dtype, np.floating)
+    ]
+    role_leaves = [(path, leaf_at(path)) for path in roles]
+
+    new_state = dict(torch_state)
+    used_paths = set()
+    filled_keys = set()
+
+    def try_pair(path: Path, leaf, name: str, want: np.ndarray) -> bool:
+        cand = _from_flax_convention(np.asarray(leaf, np.float32),
+                                     tuple(want.shape))
+        if cand is None:
+            log.warning("export shape mismatch %s -> %s %s",
+                        "/".join(path), name, want.shape)
+            return False
+        new_state[name] = cand.astype(want.dtype)
+        used_paths.add(path)
+        filled_keys.add(name)
+        return True
+
+    path_index = dict(role_leaves)
+    for name, want in t_items:
+        path = role_from_torch_key(name, cfg)
+        if path is None or path not in path_index or path in used_paths:
+            continue
+        try_pair(path, path_index[path], name, want)
+
+    rest_roles = [(p, l) for p, l in role_leaves if p not in used_paths]
+    rest_items = [(k, v) for k, v in t_items if k not in filled_keys]
+    f_sigs = [_signature(tuple(np.asarray(l).shape)) for _, l in rest_roles]
+    t_sigs = [_signature(tuple(v.shape)) for _, v in rest_items]
+    if f_sigs == t_sigs:
+        pairs = list(zip(range(len(rest_roles)), range(len(rest_items))))
+    else:
+        sm = difflib.SequenceMatcher(a=f_sigs, b=t_sigs, autojunk=False)
+        pairs = []
+        for op, i1, i2, j1, j2 in sm.get_opcodes():
+            if op == "equal":
+                pairs += list(zip(range(i1, i2), range(j1, j2)))
+    for fi, ti in pairs:
+        path, leaf = rest_roles[fi]
+        name, want = rest_items[ti]
+        try_pair(path, leaf, name, want)
+
+    skipped = [k for k, _ in t_items if k not in filled_keys]
+    unused = ["/".join(p) for p, _ in role_leaves if p not in used_paths]
+    return new_state, len(filled_keys), skipped, unused
+
+
 def _to_numpy_state(state_dict) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state_dict.items()}
 

@@ -1,0 +1,107 @@
+"""Data-derived dilation knobs (infer/autoknobs.py).
+
+The reference hard-codes the phase-1 dilation stack
+(/root/reference/skoots/lib/eval.py:152-157); the round-3 campaign proved
+that constant is regime-dependent. These tests pin the measurement
+(skeleton spacing) and the derivation rule to the regimes the campaign
+exercised: widely separated -> the reference default, touching/aniso ->
+in-plane-only single step, crowded -> reduced stack.
+"""
+
+import numpy as np
+import pytest
+
+from skoots_tpu.infer.autoknobs import (
+    REFERENCE_STACK,
+    derive_dilation,
+    estimate_object_radius,
+    estimate_skeleton_gap,
+    suggest_dist_thr,
+)
+
+
+def _two_bars(gap: int, shape=(64, 64, 16), thick=1):
+    """Two parallel X-axis skeleton bars ``gap`` voxels apart in Y."""
+    v = np.zeros(shape, np.uint8)
+    y0 = shape[1] // 2 - gap // 2
+    v[8:56, y0 - thick + 1 : y0 + 1, 4:12] = 1
+    v[8:56, y0 + gap : y0 + gap + thick, 4:12] = 1
+    return v
+
+
+class TestGapEstimate:
+    def test_measures_bar_spacing(self):
+        # nearest-voxel distance between the bars is exactly the gap
+        g = estimate_skeleton_gap(_two_bars(8))
+        assert g == pytest.approx(8.0)
+
+    def test_empty_and_single_component_give_none(self):
+        assert estimate_skeleton_gap(np.zeros((16, 16, 8), np.uint8)) is None
+        one = np.zeros((32, 32, 8), np.uint8)
+        one[4:28, 15:17, 2:6] = 1
+        assert estimate_skeleton_gap(one) is None
+
+    def test_fragments_are_not_separation_evidence(self):
+        # a single instance whose prediction broke into crumbs must not
+        # masquerade as two instances (dilation exists to re-attach these)
+        v = np.zeros((64, 64, 16), np.uint8)
+        v[8:30, 31:33, 4:8] = 1  # one sizeable piece
+        v[33, 32, 5] = 1  # 1-voxel crumb 3 away
+        v[36:38, 32, 5] = 1  # 2-voxel crumb
+        assert estimate_skeleton_gap(v) is None
+
+    def test_anisotropy_scales_z_distances(self):
+        # two slabs 4 voxels apart in z: with 3x-coarse z the spacing is
+        # 12 in-plane-equivalent units
+        v = np.zeros((32, 32, 16), np.uint8)
+        v[4:28, 4:28, 3:5] = 1
+        v[4:28, 4:28, 8:10] = 1
+        assert estimate_skeleton_gap(v) == pytest.approx(4.0)
+        assert estimate_skeleton_gap(v, (1, 1, 3)) == pytest.approx(12.0)
+
+
+class TestDeriveDilation:
+    def test_no_evidence_is_reference_default(self):
+        assert derive_dilation(None) == REFERENCE_STACK == (1, 2)
+
+    def test_separated_regime_reaches_reference_default(self):
+        # wide spacing: full radius-3 stack, one 3D pass on isotropic data
+        assert derive_dilation(10.0) == (1, 2)
+
+    def test_touching_regime_single_inplane(self):
+        # campaign 'touching'/'aniso' knob: spacing ~4 -> (0, 1)
+        assert derive_dilation(4.0) == (0, 1)
+        assert derive_dilation(5.0) == (0, 1)
+
+    def test_crowded_regime_reduced_stack(self):
+        # campaign 'blobs' knob: spacing ~6-7 -> total 2, isotropic (1, 1)
+        assert derive_dilation(6.0) == (1, 1)
+        assert derive_dilation(7.0) == (1, 1)
+
+    def test_anisotropic_never_spends_the_3d_pass(self):
+        assert derive_dilation(10.0, (1, 1, 3)) == (0, 3)
+        assert derive_dilation(6.0, (1, 1, 3)) == (0, 2)
+
+    def test_safety_bound_never_bridges(self):
+        # the derived total in-plane radius r must satisfy 2r + 1 < gap
+        # for every gap with separation evidence above the repair floor
+        for gap in range(5, 20):
+            d3, d2 = derive_dilation(float(gap))
+            assert 2 * (d3 + d2) + 1 < gap
+
+
+class TestRadiusAndDistThr:
+    def test_ball_radius_recovered(self):
+        from scipy import ndimage
+
+        v = np.zeros((48, 48, 48), bool)
+        v[24, 24, 24] = True
+        v = ndimage.distance_transform_edt(~v) <= 10
+        labels = v.astype(np.int32)
+        r = estimate_object_radius(labels, {1: np.array([[24, 24, 24]])})
+        assert r == pytest.approx(10.0, abs=1.0)
+        assert suggest_dist_thr(r) == pytest.approx(10.0, abs=1.0)
+
+    def test_empty_gives_none(self):
+        assert estimate_object_radius(np.zeros((8, 8, 8), np.int32)) is None
+        assert suggest_dist_thr(None) is None

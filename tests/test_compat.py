@@ -153,6 +153,38 @@ class TestTorchTwinParity:
         got = np.asarray(model.apply(params, jnp.asarray(x), deterministic=True))
         np.testing.assert_allclose(got, ref, atol=2e-5)
 
+    def test_export_roundtrip(self):
+        """flax -> torch export (export_torch_state) inverts the torch ->
+        flax import exactly: importing a random twin, exporting back, and
+        comparing state dicts must be lossless."""
+        torch = pytest.importorskip("torch")
+        import jax
+
+        from skoots_tpu.models import init_model
+        from skoots_tpu.utils.torch_compat import (
+            export_torch_state,
+            map_torch_state,
+        )
+
+        cfg = self._cfg()
+        torch.manual_seed(11)
+        twin = _build_torch_twin(torch, self.DIMS, self.DEPTHS, 1, 8)
+        with torch.no_grad():
+            for p in twin.parameters():
+                p.copy_(torch.randn_like(p) * 0.2)
+        state = {k: np.asarray(v.detach().numpy())
+                 for k, v in twin.state_dict().items()}
+
+        model, params = init_model(cfg, jax.random.PRNGKey(0), spatial=(8, 8, 4))
+        params, _, _, _ = map_torch_state(params, state, cfg)
+        template = {k: np.zeros_like(v) for k, v in state.items()}
+        out, exported, skipped, unused = export_torch_state(
+            params, template, cfg)
+        assert skipped == [] and unused == []
+        assert exported == len(state)
+        for k in state:
+            np.testing.assert_array_equal(out[k], state[k], err_msg=k)
+
     def test_lcs_alignment_tolerates_extra_buffers(self):
         torch = pytest.importorskip("torch")
         import jax

@@ -144,12 +144,19 @@ class TestRunInference:
         with open(stem + "_skoots_phase1.json") as f:
             assert json.load(f) == {
                 "prob_threshold": 0.8, "dilation_3d": 0, "dilation_2d": 1}
-        # reload with DEFAULT flags -> must warn (old check stayed silent)
+        # reload with EXPLICIT different knobs -> must warn (old check
+        # compared against hard-coded defaults and stayed silent)
         with caplog.at_level(logging.WARNING, "skoots_tpu.infer.engine"):
-            run_inference(path, tiny_ckpt, use_cached_data=True, **kw)
+            run_inference(path, tiny_ckpt, use_cached_data=True,
+                          dilation_3d=1, dilation_2d=2, **kw)
         assert any("different knobs" in r.message % r.args if r.args
                    else "different knobs" in r.message
                    for r in caplog.records), caplog.records
+        # reload in auto mode (default) -> adopts the recorded knobs, silent
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, "skoots_tpu.infer.engine"):
+            run_inference(path, tiny_ckpt, use_cached_data=True, **kw)
+        assert not any("knob" in str(r.message) for r in caplog.records)
         # reload with MATCHING knobs -> no warning
         caplog.clear()
         with caplog.at_level(logging.WARNING, "skoots_tpu.infer.engine"):
@@ -220,13 +227,14 @@ class TestAssignSemanticGate:
 
 class TestCLIDilationKnobs:
     def test_parser_defaults_match_reference_stack(self):
-        """--dilate-3d/--dilate-2d default to the reference eval stack
-        (eval.py:152-157) and parse through to ints."""
+        """--dilate-3d/--dilate-2d default to auto (None -> data-derived,
+        infer/autoknobs.py; the reference's fixed stack is eval.py:152-157)
+        and explicit values parse through to ints."""
         from skoots_tpu.cli import build_parser
 
         p = build_parser()
         a = p.parse_args([])
-        assert (a.dilation_3d, a.dilation_2d) == (1, 2)
+        assert (a.dilation_3d, a.dilation_2d) == (None, None)
         a = p.parse_args(["--dilate-3d", "0", "--dilate-2d", "1"])
         assert (a.dilation_3d, a.dilation_2d) == (0, 1)
 
@@ -253,3 +261,62 @@ class TestCLIDilationKnobs:
         sk0, sk1 = np.asarray(sk0), np.asarray(sk1)
         assert np.array_equal(np.asarray(sem0), np.asarray(sem1))
         assert (sk1 >= sk0).all() and sk1.sum() > sk0.sum()
+
+
+class TestExperimentalCLI:
+    """The tuned experimental knob set is reachable from the CLI
+    (reference exposes it via python -m skoots.experimental,
+    /root/reference/skoots/experimental/__main__.py:31-78)."""
+
+    def _capture(self, monkeypatch):
+        captured = {}
+
+        def fake_run(image, ckpt, **kw):
+            captured.update(kw)
+            captured["image"] = image
+            return np.zeros((1, 1, 1), np.int32)
+
+        import skoots_tpu.experimental.eval as xeval
+
+        monkeypatch.setattr(xeval, "run_inference", fake_run)
+        return captured
+
+    def test_flag_dispatches_tuned_knobs(self, monkeypatch, tmp_path):
+        captured = self._capture(monkeypatch)
+        from skoots_tpu.cli import main
+
+        img = tmp_path / "v.tif"
+        img.write_bytes(b"")  # never read: run_inference is stubbed
+        rc = main(["--image", str(img), "--pretrained-checkpoint",
+                   "c.skoots", "--experimental"])
+        assert rc == 0
+        assert captured["prob_threshold"] == 0.5
+        assert (captured["dilation_3d"], captured["dilation_2d"]) == (0, 3)
+        assert captured["embed_decay"] == 0.95
+
+    def test_explicit_flags_override_tuned_set(self, monkeypatch, tmp_path):
+        captured = self._capture(monkeypatch)
+        from skoots_tpu.cli import main
+
+        img = tmp_path / "v.tif"
+        img.write_bytes(b"")
+        rc = main(["--image", str(img), "--pretrained-checkpoint",
+                   "c.skoots", "--experimental", "--dilate-2d", "1"])
+        assert rc == 0
+        assert (captured["dilation_3d"], captured["dilation_2d"]) == (0, 1)
+
+    def test_module_entry_eval_mode(self, monkeypatch, tmp_path):
+        captured = self._capture(monkeypatch)
+        from skoots_tpu.experimental.__main__ import main
+
+        img = tmp_path / "v.tif"
+        img.write_bytes(b"")
+        rc = main(["--image", str(img), "--pretrained-checkpoint",
+                   "c.skoots"])
+        assert rc == 0
+        assert captured["prob_threshold"] == 0.5
+
+    def test_module_entry_usage(self, capsys):
+        from skoots_tpu.experimental.__main__ import main
+
+        assert main([]) == 2
