@@ -56,9 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="convert a saved tensor/volume artifact to tif")
     p.add_argument("--log", type=int, default=2, help="log level 0-4")
     p.add_argument("--batch", type=int, default=1, help="tiles per device batch")
-    p.add_argument("--spatial-shards", dest="spatial_shards", type=int, default=0,
+    p.add_argument("--spatial-shards", dest="spatial_shards", type=int,
+                   default=None,
                    help="shard the volume's X axis over this many devices "
-                        "(multi-chip spatially-partitioned inference)")
+                        "(multi-chip spatially-partitioned inference). "
+                        "Default: auto — all devices when >1 is present and "
+                        "the volume fits the sharded pipeline's per-device "
+                        "memory ceiling; 0 forces the host-streaming engine")
     p.add_argument("--dilate-3d", dest="dilation_3d", type=int, default=None,
                    help="3D dilation steps applied to the thresholded skeleton "
                         "map before connected components. Default: auto — "

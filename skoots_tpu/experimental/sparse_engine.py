@@ -142,6 +142,30 @@ def train_sparse(cfg: CfgNode, steps_per_epoch=None) -> TrainState:
     mean = float(np.mean([r.image.mean() for r in records]))
     std = float(np.mean([r.image.std() for r in records])) or 1.0
 
+    # data-derived DIST_THR sanity check (round-3 sparse attempt 1 failed
+    # on exactly this regime mismatch): suggest half the minimum
+    # inter-instance skeleton-point spacing and flag a config that differs
+    # by more than 2x in either direction
+    from skoots_tpu.infer.autoknobs import suggest_dist_thr_from_points
+
+    suggestions = [
+        s for r in records
+        for s in [suggest_dist_thr_from_points(r.skeletons)] if s is not None
+    ]
+    if suggestions:
+        sugg = float(np.median(suggestions))
+        thr = float(cfg.EXPERIMENTAL.DIST_THR)
+        if thr > 2 * sugg or thr < sugg / 2:
+            log.warning(
+                "EXPERIMENTAL.DIST_THR=%.1f is far from the data-derived "
+                "suggestion %.1f (half the minimum inter-instance skeleton "
+                "spacing): too large pulls voxels toward other instances' "
+                "skeletons, too small starves supervision", thr, sugg,
+            )
+        else:
+            log.info("DIST_THR=%.1f (data-derived suggestion: %.1f)",
+                     thr, sugg)
+
     class _Multi:
         def __len__(self):
             return sum(len(d) for d in datasets)

@@ -120,6 +120,33 @@ def suggest_dist_thr(object_radius_vox: Optional[float]) -> Optional[float]:
     return float(round(object_radius_vox, 1))
 
 
+def suggest_dist_thr_from_points(
+    skeletons: dict, sample_cap: int = 4000
+) -> Optional[float]:
+    """Sparse-data DIST_THR suggestion when no masks exist (weak
+    supervision annotates skeleton POINTS only): half the minimum spacing
+    between skeleton points of DIFFERENT instances — the largest pull
+    radius that cannot attract a voxel across the midline toward another
+    instance's skeleton. None with fewer than two annotated instances."""
+    from scipy.spatial import cKDTree
+
+    pts = {k: np.asarray(v, np.float64) for k, v in skeletons.items()
+           if k != 0 and np.asarray(v).size}
+    if len(pts) < 2:
+        return None
+    budget = max(8, sample_cap // len(pts))
+    sampled = []
+    for v in pts.values():
+        stride = max(1, len(v) // budget)
+        sampled.append(v[::stride])
+    gap = np.inf
+    for i, p in enumerate(sampled):
+        others = np.concatenate([q for j, q in enumerate(sampled) if j != i])
+        d, _ = cKDTree(others).query(p, k=1)
+        gap = min(gap, float(d.min()))
+    return max(1.0, round(gap / 2.0, 1))
+
+
 def estimate_object_radius(
     labels: np.ndarray, skeleton_points: dict | None = None
 ) -> Optional[float]:

@@ -63,8 +63,14 @@ def run_config(cfg_path: str, steps_per_epoch=None) -> None:
                                        cfg.AUGMENTATION.BRIGHTNESS_RATE)
     mean, std = dataset.mean_std(with_invert=invert_rate > 0)
     ceiling = dataset.intensity_ceiling()
-    log.info("dataset: %d samples/epoch, mean=%.3f std=%.3f ceil=%d",
-             len(dataset), mean, std, ceiling)
+    # scale estimate of the objects (median EDT at GT-skeleton points) —
+    # persisted in the checkpoint so downstream tooling can derive
+    # data-regime knobs (infer/autoknobs.py)
+    radius = dataset.object_radius()
+    log.info("dataset: %d samples/epoch, mean=%.3f std=%.3f ceil=%d "
+             "object_radius=%s",
+             len(dataset), mean, std, ceiling,
+             "n/a" if radius is None else f"{radius:.1f}vox")
 
     val_sets = [
         SkootsDataset(d, cfg, sample_per_image=s)
@@ -137,7 +143,7 @@ def run_config(cfg_path: str, steps_per_epoch=None) -> None:
             cfg.AUGMENTATION.CROP_DEPTH)
     train(
         cfg, data_iter, val_data_iter, dataset_mean=mean, dataset_std=std,
-        writer=writer, mesh=mesh, init_spatial=crop,
+        writer=writer, mesh=mesh, init_spatial=crop, object_radius=radius,
     )
 
 

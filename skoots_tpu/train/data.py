@@ -151,6 +151,25 @@ class SkootsDataset:
         _, _, _, mx = self.moments()
         return 255.0 if mx <= 255.0 else 65535.0
 
+    def object_radius(self) -> Optional[float]:
+        """Median EDT-at-GT-skeleton-points over the dataset: a scale
+        estimate of the objects being segmented, stored in the checkpoint
+        so inference/sparse tooling can derive data-regime knobs (suggested
+        EXPERIMENTAL.DIST_THR, dilation sanity). None for background-only
+        datasets."""
+        if self.background:
+            return None
+        from skoots_tpu.infer.autoknobs import estimate_object_radius
+
+        vals = [
+            r
+            for rec in self.records
+            if rec.skeletons
+            for r in [estimate_object_radius(rec.masks, rec.skeletons)]
+            if r is not None
+        ]
+        return float(np.median(vals)) if vals else None
+
     def mean_std(self, with_invert: bool = False) -> Tuple[float, float]:
         """Dataset-wide intensity stats (reference dataloader.py:246-310,
         engine.py:188 calls with_invert=True).
@@ -263,6 +282,11 @@ class MultiDataset:
 
     def intensity_ceiling(self) -> float:
         return max(d.intensity_ceiling() for d in self.datasets)
+
+    def object_radius(self) -> Optional[float]:
+        vals = [r for d in self.datasets
+                for r in [d.object_radius()] if r is not None]
+        return float(np.median(vals)) if vals else None
 
     def mean_std(self, with_invert: bool = False) -> Tuple[float, float]:
         """Combined stats over every member dataset (reference MultiDataset

@@ -265,6 +265,7 @@ def train(
     writer=None,
     mesh=None,
     init_spatial=(64, 64, 16),
+    object_radius: Optional[float] = None,
 ) -> TrainState:
     """Run the training loop.
 
@@ -378,7 +379,7 @@ def train(
             save_checkpoint(
                 save_name, cfg, state.params, state.opt_state,
                 dataset_mean=dataset_mean, dataset_std=dataset_std,
-                extra={"epoch": e},
+                extra={"epoch": e, "object_radius": object_radius},
             )
             log.info("checkpoint -> %s", save_name)
 

@@ -105,3 +105,47 @@ class TestRadiusAndDistThr:
     def test_empty_gives_none(self):
         assert estimate_object_radius(np.zeros((8, 8, 8), np.int32)) is None
         assert suggest_dist_thr(None) is None
+
+
+class TestDistThrFromPoints:
+    def test_half_min_inter_instance_spacing(self):
+        from skoots_tpu.infer.autoknobs import suggest_dist_thr_from_points
+
+        skels = {
+            1: np.array([[10.0, 10, 5], [20, 10, 5]]),
+            2: np.array([[10.0, 22, 5], [20, 22, 5]]),
+        }
+        # nearest cross-instance points are 12 apart -> suggest 6
+        assert suggest_dist_thr_from_points(skels) == pytest.approx(6.0)
+
+    def test_single_instance_gives_none(self):
+        from skoots_tpu.infer.autoknobs import suggest_dist_thr_from_points
+
+        assert suggest_dist_thr_from_points({1: np.zeros((4, 3))}) is None
+        assert suggest_dist_thr_from_points({}) is None
+
+
+class TestDatasetObjectRadius:
+    def test_tube_radius_recovered(self, tmp_path):
+        """SkootsDataset.object_radius() recovers the synthetic tube radius
+        and it travels into the checkpoint via train(..., object_radius=...)."""
+        from skoots_tpu.config import get_cfg_defaults
+        from skoots_tpu.train.data import SkootsDataset
+        from skoots_tpu.train.generate_skeletons import save_skeletons
+        from skoots_tpu.utils.io import imsave
+        from skoots_tpu.utils.synthetic import make_tubes
+
+        img, labels, skels = make_tubes(shape=(64, 64, 16), n_tubes=2,
+                                        radius=4, seed=3)
+        d = tmp_path / "data"
+        d.mkdir()
+        imsave(str(d / "v.tif"), img)
+        imsave(str(d / "v.labels.tif"), labels)
+        save_skeletons(str(d / "v.skeletons.npz"), skels)
+        cfg = get_cfg_defaults()
+        cfg.AUGMENTATION.CROP_WIDTH = 32
+        cfg.AUGMENTATION.CROP_HEIGHT = 32
+        cfg.AUGMENTATION.CROP_DEPTH = 8
+        ds = SkootsDataset(str(d), cfg, sample_per_image=1)
+        r = ds.object_radius()
+        assert r is not None and 2.0 <= r <= 6.0

@@ -250,3 +250,65 @@ class TestShardedAssign:
         inst_r = np.asarray(labels)[ix, iy, iz]
         inst_r = np.where(np.any(np.asarray(vec) != 0, -1), inst_r, 0)
         np.testing.assert_array_equal(inst_s, inst_r)
+
+
+class TestResolveSpatialShards:
+    """Auto spatial-shard selection (--spatial-shards default): every
+    device when >1 is present and the sharded pipeline's per-device
+    ceiling fits; host-streaming engine (0) otherwise."""
+
+    def test_explicit_passthrough(self):
+        from skoots_tpu.infer.sharded import resolve_spatial_shards
+
+        for req in (0, 1, 4):
+            assert resolve_spatial_shards(req, 8, (512, 512, 512)) == req
+
+    def test_auto_uses_all_devices(self):
+        from skoots_tpu.infer.sharded import resolve_spatial_shards
+
+        assert resolve_spatial_shards(None, 8, (512, 512, 512)) == 8
+        assert resolve_spatial_shards(None, 1, (512, 512, 512)) == 0
+
+    def test_auto_respects_memory_ceiling(self):
+        from skoots_tpu.infer.sharded import (
+            estimated_bytes_per_device,
+            resolve_spatial_shards,
+        )
+
+        shape = (1024, 1024, 1024)
+        need = estimated_bytes_per_device(shape, 8)
+        assert resolve_spatial_shards(None, 8, shape, bytes_limit=need * 2) == 8
+        assert resolve_spatial_shards(None, 8, shape, bytes_limit=need // 2) == 0
+
+    def test_auto_caps_on_tiny_x_extent(self):
+        from skoots_tpu.infer.sharded import resolve_spatial_shards
+
+        # 16-voxel X axis cannot meaningfully shard 8 ways
+        assert resolve_spatial_shards(None, 8, (16, 512, 512)) == 2
+
+    def test_explicit_infeasible_request_errors(self, tmp_path, monkeypatch):
+        """run_inference raises (with the remedy) when an explicit shard
+        request exceeds the per-device ceiling, instead of OOMing."""
+        import jax
+        import pytest
+
+        import skoots_tpu.infer.engine as eng
+        from skoots_tpu.config import get_cfg_defaults
+        from skoots_tpu.models import init_model
+        from skoots_tpu.train.checkpoint import save_checkpoint
+        from skoots_tpu.utils.io import imsave
+
+        cfg = get_cfg_defaults()
+        cfg.MODEL.DIMS = [4, 8, 16, 8, 4]
+        cfg.MODEL.DEPTHS = [1] * 5
+        cfg.MODEL.OUT_CHANNELS = 4
+        model, params = init_model(cfg, jax.random.PRNGKey(0),
+                                   spatial=(16, 16, 8))
+        ckpt = str(tmp_path / "m.skoots")
+        save_checkpoint(ckpt, cfg, params, dataset_mean=0.0, dataset_std=1.0)
+        vol = str(tmp_path / "v.tif")
+        imsave(vol, np.zeros((32, 32, 8), np.uint8))
+        monkeypatch.setattr(
+            "skoots_tpu.infer.sharded.device_bytes_limit", lambda: 1024)
+        with pytest.raises(ValueError, match="host-streaming"):
+            eng.run_inference(vol, ckpt, spatial_shards=8)
