@@ -40,18 +40,13 @@ SCENARIOS = ("separated", "touching", "aniso", "blobs", "sparse", "perslice")
 BARS = {"separated": 0.8, "touching": 0.8, "aniso": 0.8, "blobs": 0.8,
         "sparse": 0.7, "perslice": 0.6}
 
-# Post-forward dilation, scaled to each phantom's skeleton spacing.  The
-# dilation stack exists to re-connect a *fragmented* skeleton prediction of
-# one instance; every step also bridges ~2 voxels of gap *between* adjacent
-# instances' skeletons, so total steps must stay below half the minimum
-# inter-skeleton gap.  The reference default (1x3D + 2x2D, eval.py:152-157)
-# is tuned for its mito regime where neighbouring skeletons sit >=10 voxels
-# apart; these miniature phantoms put radius-3 stamps on centerlines only
-# 10-11 voxels apart (gap ~4), so crowded scenarios get a reduced stack
-# (measured: tools/diag_assign.py sweeps show the model separates every
-# instance — F1=1.0 — once the stack stops bridging; same knob is exposed to
-# users as skoots --dilate-3d/--dilate-2d).
-INFER_KNOBS = {
+# Round-3 per-scenario dilation stacks (hand-derived from each phantom's
+# skeleton spacing; see BASELINE.md campaign knobs). Round 4 replaced them
+# with the engine's AUTO mode (infer/autoknobs.py measures skeleton spacing
+# on probe tiles and derives the stack) — the campaign's default is now to
+# pass NO knobs at all, proving auto mode reproduces every hand stack.
+# --manual-knobs restores the round-3 dict for A/B comparison.
+MANUAL_KNOBS = {
     "touching": {"dilation_3d": 0, "dilation_2d": 1},
     "aniso": {"dilation_3d": 0, "dilation_2d": 1},
     # blobs sit ~4 voxels apart: the default 2x2D dilation bridges one
@@ -59,6 +54,7 @@ INFER_KNOBS = {
     # skeletons (the 19th is merged at the model level — no knob helps)
     "blobs": {"dilation_3d": 1, "dilation_2d": 1},
 }
+INFER_KNOBS: dict = {}  # set in main(): {} (auto) or MANUAL_KNOBS
 
 
 def _phantom(scenario: str, seed: int):
@@ -333,7 +329,13 @@ def main() -> int:
                     help="reuse an existing trained checkpoint (and cached "
                          "phase-1 buffers) and only re-run the post-forward "
                          "tail + scoring")
+    ap.add_argument("--manual-knobs", action="store_true",
+                    help="use the round-3 hand-derived per-scenario dilation "
+                         "stacks instead of the engine's auto mode")
     args = ap.parse_args()
+
+    if args.manual_knobs:
+        INFER_KNOBS.update(MANUAL_KNOBS)
 
     if args.cpu:
         import jax
