@@ -157,11 +157,15 @@ def _run(shape, crop, overlap, repeats) -> dict:
     padded = tuple(d + p[0] + p[1] for d, p in zip(shape, pads))
     n_tiles = len(crop_origins(padded, crop, ov))
     try:
-        from skoots_tpu.validate.stats import get_flops
+        # analytic count, NOT XLA cost analysis: the Pallas dwconv/MLP
+        # kernels are opaque custom calls that report zero FLOPs, so cost
+        # analysis undercounts the production model >10x (19.5 kFLOP/vox
+        # reported vs ~267 k actual; round-4 bench finding).
+        from skoots_tpu.validate.stats import analytic_unext_flops
 
-        tile = jnp.zeros((1, *crop, 1), jnp.float32)
-        model_flops_tile = get_flops(
-            lambda p, t: model.apply(p, t, deterministic=True), params, tile
+        model_flops_tile = analytic_unext_flops(
+            cfg.MODEL.DIMS, cfg.MODEL.DEPTHS, cfg.MODEL.KERNEL_SIZE,
+            cfg.MODEL.OUT_CHANNELS, tile_vox,
         )
     except Exception:
         model_flops_tile = -1.0

@@ -35,6 +35,8 @@ import time
 import numpy as np
 import yaml
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SCENARIOS = ("separated", "touching", "aniso", "blobs", "sparse", "perslice")
 
 BARS = {"separated": 0.8, "touching": 0.8, "aniso": 0.8, "blobs": 0.8,
