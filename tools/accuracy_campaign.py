@@ -62,8 +62,19 @@ INFER_KNOBS: dict = {}  # set in main(): {} (auto) or MANUAL_KNOBS
 def _phantom(scenario: str, seed: int):
     from skoots_tpu.utils.synthetic import make_blobs, make_tubes
 
-    if scenario in ("separated", "sparse"):
+    if scenario == "separated":
         return make_tubes(shape=(128, 128, 32), n_tubes=5, radius=5,
+                          seed=seed, min_separation=16.0)
+    if scenario == "sparse":
+        # Depth 96 (3x the crop depth) so the contiguous background-slice
+        # ablation (reference modifiers.py:38-63 semantics) cannot be
+        # defeated positionally: with depth == crop depth, every crop sees
+        # the same absolute z and the net learns "no bg penalty near the
+        # far face" from padding distance — measured attempt-3 failure:
+        # FP fraction 0.09-0.12 on exactly the ablated z>=24 band, F1 0.25.
+        # The reference regime (volumes >> crops, random z offsets) never
+        # exposes absolute z; depth 96 restores that property.
+        return make_tubes(shape=(128, 128, 96), n_tubes=5, radius=5,
                           seed=seed, min_separation=16.0)
     if scenario == "touching":
         # radius 5 -> surfaces touch at centerline distance ~10-11
