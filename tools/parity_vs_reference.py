@@ -194,6 +194,25 @@ def main() -> int:
     ap.add_argument("--out", default="runs/parity")
     ap.add_argument("--ckpt", default=CKPT)
     ap.add_argument("--iou-bar", type=float, default=0.95)
+    ap.add_argument("--crop", default="64,64,16",
+                    help="tile geometry for BOTH pipelines; the default "
+                         "64,64,16 exactly tiles the 128x128x32 volume")
+    ap.add_argument("--overlap", default="0,0,0",
+                    help="overlap for BOTH pipelines. NOTE: with nonzero "
+                         "overlap the reference never writes the outer "
+                         "overlap band (eval.py:162-176; its pad call is "
+                         "commented out at eval.py:67-71), so voxels whose "
+                         "embedding walks into that band are dropped by the "
+                         "reference but kept by our engine — measured on "
+                         "this phantom: an edge-hugging tube loses 99% of "
+                         "its reference mask that way (runs/parity/"
+                         "result_overlap_geometry.json). Exact tiling "
+                         "removes that asymmetry and compares the "
+                         "algorithms where both define an output.")
+    ap.add_argument("--skip-default", action="store_true",
+                    help="skip the default-mode engine run (reuse prior "
+                         "default_vs_gt numbers when iterating on strict "
+                         "parity)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -255,7 +274,8 @@ def main() -> int:
     print(f"forward |delta| median {fwd_med:.4f} p99 {fwd_p99:.4f} (bf16 vs f32)")
 
     # ---- pipeline A: reference-faithful torch
-    crop, ov = (96, 96, 20), (16, 16, 4)
+    crop = tuple(int(v) for v in args.crop.split(","))
+    ov = tuple(int(v) for v in args.overlap.split(","))
     t0 = time.time()
     ref_mask = reference_pipeline(
         torch, twin, img.astype(np.float32), mean, std, vec_scale,
@@ -285,14 +305,17 @@ def main() -> int:
 
     # B2: default mode (semantic gate, auto dilation) — scored vs GT to
     # record what the documented deviation buys.
-    t0 = time.time()
-    our_mask = np.asarray(run_inference(
-        vol_path, args.ckpt, crop_size=crop, overlap=ov,
-        assign_crop_size=crop, assign_overlap=ov, embed_iterations=10,
-        output_path=os.path.join(args.out, "parity_ours.tif")))
-    our_s = time.time() - t0
-    print(f"our engine (default): {our_s:.1f}s, "
-          f"{len(np.unique(our_mask)) - 1} instances")
+    if args.skip_default:
+        our_mask, our_s = strict_mask, float("nan")
+    else:
+        t0 = time.time()
+        our_mask = np.asarray(run_inference(
+            vol_path, args.ckpt, crop_size=crop, overlap=ov,
+            assign_crop_size=crop, assign_overlap=ov, embed_iterations=10,
+            output_path=os.path.join(args.out, "parity_ours.tif")))
+        our_s = time.time() - t0
+        print(f"our engine (default): {our_s:.1f}s, "
+              f"{len(np.unique(our_mask)) - 1} instances")
 
     interior = tuple(slice(o, s - o) for o, s in zip(ov, img.shape))
 
@@ -334,7 +357,7 @@ def main() -> int:
         "our_instances": int(n_ours),
         "gt_instances": int(n_gt),
         "per_instance": per_instance,
-        "default_vs_gt": {
+        "default_vs_gt": None if args.skip_default else {
             "min_iou": round(gt_min, 4), "mean_iou": round(gt_mean, 4),
         },
         "strict_vs_gt": {
@@ -344,7 +367,7 @@ def main() -> int:
         "fwd_abs_delta_median": round(fwd_med, 5),
         "fwd_abs_delta_p99": round(fwd_p99, 5),
         "ref_pipeline_s": round(ref_s, 1),
-        "our_pipeline_s": round(our_s, 1),
+        "our_pipeline_s": None if args.skip_default else round(our_s, 1),
         "strict_pipeline_s": round(strict_s, 1),
         "checkpoint": args.ckpt,
         "volume": "make_tubes(128,128,32,n=5,r=5,seed=777,min_sep=16)",
