@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="in-plane (XY) dilation steps after the 3D steps "
                         "(default: auto; reference fixed stack is 2, "
                         "eval.py:152-157)")
+    p.add_argument("--semantic-threshold", dest="semantic_threshold",
+                   type=float, default=None,
+                   help="semantic foreground-gate probability level. "
+                        "Default: auto — a sparse checkpoint's self-"
+                        "calibrated value when recorded (sparse training "
+                        "calibrates the level whose foreground volume "
+                        "matches the supervised DIST_THR ball), else the "
+                        "standard 0.8")
     p.add_argument("--experimental", action="store_true",
                    help="use the experimental tuned knob set (prob 0.5, "
                         "3x 2D dilation, decaying embedding walk — reference "
@@ -136,6 +144,7 @@ def main(argv=None) -> int:
             out_of_core=args.out_of_core,
             dilation_3d=args.dilation_3d,
             dilation_2d=args.dilation_2d,
+            semantic_threshold=args.semantic_threshold,
         )
     return 0
 

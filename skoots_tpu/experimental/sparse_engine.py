@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +130,64 @@ def make_sparse_train_step(model, optimizer, schedule, sigma, cfg: CfgNode):
     return train_step
 
 
+def make_threshold_calibrator(model, cfg: CfgNode, dataset, mean, std,
+                              n_crops: int = 8):
+    """Train-time semantic-threshold self-calibration for sparse
+    checkpoints.
+
+    Sparse supervision never shows the semantic head a true boundary, so
+    the probability level that separates object from background is a
+    property of the training regime — measured round 4: the learned
+    transition sat at prob ~0.998, and the dense pipeline's fixed 0.8
+    produced 3x-fat masks (runs/accuracy/sparse/calibration.json). The
+    calibrator matches predicted foreground volume to the supervised
+    geometry (the DIST_THR ball around annotated skeletons) on raw
+    training crops and returns the matched threshold, which the engine
+    then adopts at inference (run_inference semantic_threshold=None).
+    The reference has no counterpart — its sparse checkpoints are scored
+    with hand-tuned experimental knobs (experimental/eval.py:138-146)."""
+    import jax
+
+    from skoots_tpu.infer.autoknobs import (
+        calibrate_semantic_threshold,
+        sparse_target_fg_fraction,
+    )
+
+    crop = (cfg.AUGMENTATION.CROP_WIDTH, cfg.AUGMENTATION.CROP_HEIGHT,
+            cfg.AUGMENTATION.CROP_DEPTH)
+    aniso = tuple(cfg.AUGMENTATION.BAKE_SKELETON_ANISOTROPY)
+    dist_thr = float(cfg.EXPERIMENTAL.DIST_THR)
+
+    @jax.jit
+    def prob_fn(params, img):
+        out = model.apply(params, (img - mean) / std, deterministic=True)
+        return out[..., 4]
+
+    def calibrate(params) -> Optional[float]:
+        rng = np.random.default_rng(cfg.TRAIN.SEED + 7)
+        probs, fracs = [], []
+        for _ in range(n_crops):
+            s = dataset.sample(rng)
+            pts, ids = s["points"], s["ids"]
+            inside = (ids > 0) & np.all(
+                (pts >= 0) & (pts < np.asarray(crop, np.float32)), axis=1
+            )
+            skels = {1: pts[inside]} if inside.any() else {}
+            frac = sparse_target_fg_fraction(skels, crop, dist_thr, aniso)
+            if frac is None:
+                continue
+            p = prob_fn(params, jnp.asarray(s["image"][None, ..., None]))
+            probs.append(np.asarray(p, np.float32).ravel())
+            fracs.append(frac)
+        if not fracs:
+            return None
+        return calibrate_semantic_threshold(
+            np.concatenate(probs), float(np.mean(fracs))
+        )
+
+    return calibrate
+
+
 def train_sparse(cfg: CfgNode, steps_per_epoch=None) -> TrainState:
     from skoots_tpu.experimental.data import SparseDataset
     from skoots_tpu.train.data import batch_iterator
@@ -192,6 +250,7 @@ def train_sparse(cfg: CfgNode, steps_per_epoch=None) -> TrainState:
     )
     sigma = init_sigma(cfg)
     step_fn = make_sparse_train_step(model, optimizer, schedule, sigma, cfg)
+    calibrate = make_threshold_calibrator(model, cfg, dataset, mean, std)
 
     # SWA (sparse_engine.py:297-299, 448-449): running average after swa_start
     epochs = cfg.TRAIN.NUM_EPOCHS
@@ -225,11 +284,15 @@ def train_sparse(cfg: CfgNode, steps_per_epoch=None) -> TrainState:
                     lambda avg, new: avg + (new - avg) / swa_n, swa_params, state.params
                 )
         if (e + 1) % cfg.TRAIN.SAVE_INTERVAL == 0 or e == epochs - 1:
+            save_params = swa_params if swa_params is not None else state.params
+            sem_thr = calibrate(save_params)
+            if sem_thr is not None:
+                log.info("calibrated semantic threshold: %.6f", sem_thr)
             save_checkpoint(
-                save_name, cfg,
-                swa_params if swa_params is not None else state.params,
+                save_name, cfg, save_params,
                 state.opt_state, dataset_mean=mean, dataset_std=std,
-                extra={"epoch": e, "swa": swa_params is not None},
+                extra={"epoch": e, "swa": swa_params is not None,
+                       "calibrated_prob_threshold": sem_thr},
             )
             log.info("checkpoint -> %s", save_name)
     return state

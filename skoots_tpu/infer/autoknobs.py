@@ -147,6 +147,110 @@ def suggest_dist_thr_from_points(
     return max(1.0, round(gap / 2.0, 1))
 
 
+def sparse_target_fg_fraction(
+    skeletons: dict,
+    shape: Sequence[int],
+    dist_thr: float,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+) -> Optional[float]:
+    """Fraction of a volume the sparse supervision declares foreground: the
+    anisotropy-weighted ``dist_thr`` ball around the annotated skeleton
+    points. This is the geometry the sparse embedding loss pulls toward
+    (reference sparse_loss.py:254-353 uses the same ball), so it is the
+    model-independent estimate of how much foreground a sparse checkpoint
+    SHOULD predict. None when no points exist."""
+    from scipy import ndimage
+
+    pts = [np.asarray(v) for v in skeletons.values() if np.asarray(v).size]
+    if not pts:
+        return None
+    mask = np.ones(tuple(int(s) for s in shape), bool)
+    ii = np.clip(
+        np.round(np.concatenate(pts)).astype(int), 0, np.asarray(shape) - 1
+    )
+    mask[ii[:, 0], ii[:, 1], ii[:, 2]] = False
+    edt = ndimage.distance_transform_edt(
+        mask, sampling=[float(a) for a in anisotropy]
+    )
+    return float((edt <= dist_thr).mean())
+
+
+def calibrate_semantic_threshold_from_histogram(
+    probs: np.ndarray,
+    lo: float = 0.5,
+    bins: int = 128,
+    min_count: int = 1000,
+) -> Optional[float]:
+    """Self-calibrated semantic threshold from the probability histogram
+    of the inference volume itself — no ground truth, no recorded target.
+
+    A sparse checkpoint's probability map has a characteristic shape
+    (measured round 4, runs/accuracy/sparse/calibration.json): true-
+    foreground voxels saturate near 1.0, while the unsupervised "fat
+    ring" just outside the object forms a decaying continuum below them —
+    in logit space, a decaying ring mode, a valley at the crossing, and a
+    saturation spike. The rule: Otsu's split locates the inter-mode
+    region, then the threshold is the smoothed-histogram minimum between
+    the split and the dominant saturation mode (the Bayes crossing of the
+    two clusters). Measured on the round-4 sparse val volume: picks 0.997
+    against an F1=1.0 passing band of [0.998, 0.9999] at oracle 0.9995 —
+    precision 0.33 -> 0.70 with recall 0.98.
+
+    Returns None when fewer than ``min_count`` voxels exceed ``lo`` (no
+    foreground evidence to calibrate on)."""
+    vals = np.asarray(probs, np.float32).ravel()
+    vals = vals[vals > lo]
+    if vals.size < min_count:
+        return None
+    logit = np.log(np.clip(vals, 1e-6, 1 - 1e-7)) - np.log(
+        np.clip(1 - vals, 1e-7, 1)
+    )
+    hist, edges = np.histogram(logit, bins=bins)
+    centers = (edges[:-1] + edges[1:]) / 2
+    kern = np.array([1.0, 4.0, 6.0, 4.0, 1.0])
+    sm = np.convolve(hist.astype(np.float64), kern / kern.sum(), mode="same")
+
+    tot = sm.sum()
+    cum = np.cumsum(sm)
+    cmean = np.cumsum(sm * centers)
+    gmean = cmean[-1] / tot
+    with np.errstate(divide="ignore", invalid="ignore"):
+        between = (gmean * cum - cmean) ** 2 / (cum * (tot - cum))
+    k = int(np.nanargmax(between))
+    if k + 1 >= len(sm):
+        return None
+    m = k + 1 + int(np.argmax(sm[k + 1 :]))  # saturation mode
+    if m <= k + 1:
+        t = centers[k]  # no room for a valley: Otsu's split stands
+    else:
+        t = centers[k + 1 + int(np.argmin(sm[k + 1 : m]))]
+    return float(1.0 / (1.0 + np.exp(-t)))
+
+
+def calibrate_semantic_threshold(
+    prob_values: np.ndarray,
+    target_fg_frac: float,
+    lo: float = 0.5,
+    hi: float = 0.9999,
+) -> float:
+    """Semantic-probability threshold whose foreground volume matches the
+    supervision's: the ``1 - target_fg_frac`` quantile of the predicted
+    probabilities.
+
+    Why this exists: sparse training supervises the semantic head only
+    through ``embed_prob > 0.2`` (reference sparse_loss.py:254-353), whose
+    spatial support is set by sigma — not by the object boundary. The
+    learned probabilities stay monotone in distance-to-boundary but the
+    dense pipeline's fixed 0.8 sits on the wrong side of the transition
+    (measured round 4: precision 0.33 at 0.8 vs 0.85 at the matched
+    quantile, runs/accuracy/sparse/calibration.json). Volume matching
+    recovers the boundary without any hand knob. Clamped to [lo, hi] so a
+    degenerate probability map can never disable the foreground gate."""
+    vals = np.asarray(prob_values, np.float32).ravel()
+    frac = float(np.clip(target_fg_frac, 1e-6, 0.9))
+    return float(np.clip(np.quantile(vals, 1.0 - frac), lo, hi))
+
+
 def estimate_object_radius(
     labels: np.ndarray, skeleton_points: dict | None = None
 ) -> Optional[float]:

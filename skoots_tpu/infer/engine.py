@@ -64,7 +64,8 @@ def _pad_amounts(dim: int, crop: int, ov: int) -> Tuple[int, int]:
 
 
 def _make_tile_fn(model, params, mean, std, prob_thr: float,
-                  dilation_3d: int = 1, dilation_2d: int = 2):
+                  dilation_3d: int = 1, dilation_2d: int = 2,
+                  sem_thr: float | None = None):
     """Phase-1 jitted tile step: [B, X, Y, Z, 1] f32 -> interiors of
     (vectors f16, dilated skeleton u8, semantic foreground u8).
 
@@ -74,7 +75,14 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float,
     threshold, un-dilated) is persisted so phase 3 can gate assignment on
     the actual probability decision rather than inferring foreground from
     vector non-zeroness (a stored float16 vector can be exactly zero on a
-    genuine foreground voxel, e.g. at an instance center)."""
+    genuine foreground voxel, e.g. at an instance center).
+
+    ``sem_thr`` decouples the semantic-gate threshold from the
+    vector/skeleton masking threshold: sparse checkpoints carry a
+    self-calibrated semantic level (sparse_engine.make_threshold_calibrator)
+    that sits far above 0.8, while the vector/skeleton channels stay at the
+    reference's operating point."""
+    sem_thr = prob_thr if sem_thr is None else sem_thr
 
     @jax.jit
     def tile_fn(image_tiles: jax.Array):
@@ -93,7 +101,7 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float,
         return (
             vec.astype(jnp.float16),
             (skel > prob_thr).astype(jnp.uint8),
-            keep.astype(jnp.uint8),
+            (prob > sem_thr).astype(jnp.uint8),
         )
 
     return tile_fn
@@ -270,6 +278,49 @@ def _probe_dilation(model, params, mean, std, prob_thr, volume, crop, ov,
     return gap
 
 
+def _probe_semantic_threshold(model, params, mean, std, volume,
+                              crop, ov, n_probe: int = 4):
+    """Inference-time semantic-threshold self-calibration for sparse
+    checkpoints: pool raw probabilities from the center-most probe tiles
+    and find the inter-cluster valley
+    (autoknobs.calibrate_semantic_threshold_from_histogram).
+
+    Train-time calibration (sparse_engine.make_threshold_calibrator) is
+    kept as the fallback, but it measures the TRAINING distribution — on
+    the round-4 sparse scenario the model's train-crop probabilities were
+    well-separated at 0.944 while the val volume needed ~0.997 (fat-ring
+    generalization gap, runs/accuracy/sparse/calibration.json). Probing
+    the inference volume itself removes that shift. Returns None when the
+    probes show too little foreground to calibrate on."""
+    from skoots_tpu.infer.autoknobs import (
+        calibrate_semantic_threshold_from_histogram,
+    )
+
+    spatial = volume.shape[:3]
+    pads = [_pad_amounts(d, c, o) for d, c, o in zip(spatial, crop, ov)]
+    padded_shape = tuple(d + p[0] + p[1] for d, p in zip(spatial, pads))
+    origins = crop_origins(padded_shape, crop, ov)
+    center = [ps / 2 - c / 2 for ps, c in zip(padded_shape, crop)]
+    origins = sorted(
+        origins, key=lambda o: sum((a - b) ** 2 for a, b in zip(o, center))
+    )[:n_probe]
+
+    @jax.jit
+    def raw_fn(image_tiles):
+        x = (image_tiles - mean) / std
+        return model.apply(params, x, deterministic=True)[..., 4]
+
+    probs = [
+        np.asarray(
+            raw_fn(jnp.asarray(_read_tile(volume, o, crop, pads)[None, ...],
+                               jnp.float32)),
+            np.float32,
+        ).ravel()
+        for o in origins
+    ]
+    return calibrate_semantic_threshold_from_histogram(np.concatenate(probs))
+
+
 def run_inference(
     image_path: str,
     checkpoint_path: str,
@@ -279,6 +330,7 @@ def run_inference(
     assign_crop_size: Tuple[int, int, int] = (500, 500, 50),
     assign_overlap: Tuple[int, int, int] = (50, 50, 5),
     prob_threshold: float = 0.8,
+    semantic_threshold: float | None = None,
     embed_iterations: int = 10,
     embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
@@ -304,6 +356,17 @@ def run_inference(
     the reference, eval.py:101-111). Default: automatic for volumes over
     256^3.
 
+    ``semantic_threshold`` sets the semantic-gate level independently of
+    ``prob_threshold`` (which keeps masking the vector/skeleton channels).
+    Default None auto-resolves: for a sparse checkpoint the gate is
+    self-calibrated on THIS volume's probability histogram (probe tiles,
+    autoknobs.calibrate_semantic_threshold_from_histogram — the dense
+    pipeline's 0.8 sits on the wrong side of a sparse model's learned
+    transition; measured precision 0.33 vs 0.70,
+    runs/accuracy/sparse/calibration.json), falling back to the
+    checkpoint's train-time ``calibrated_prob_threshold``; dense
+    checkpoints use ``prob_threshold``.
+
     ``semantic_gate=False`` disables the assignment-phase foreground gate
     for strict reference semantics (eval.py:277 applies none): background
     voxels under the dilated-skeleton halo then self-gather a label, which
@@ -320,6 +383,10 @@ def run_inference(
     stem = os.path.splitext(image_path)[0]
     ckpt = load_checkpoint(checkpoint_path)
     cfg: CfgNode = ckpt["cfg"]
+
+    ckpt_extra = ckpt.get("extra") or {}
+    calibrated_thr = ckpt_extra.get("calibrated_prob_threshold")
+    sparse_ckpt = bool(cfg.EXPERIMENTAL.IS_SPARSE) or calibrated_thr is not None
 
     volume = imread(image_path)  # [X, Y, Z]
     x, y, z = volume.shape
@@ -403,9 +470,14 @@ def run_inference(
                 )
         mesh = make_mesh(data=1, space=spatial_shards,
                          devices=jax.devices()[:spatial_shards])
+        if semantic_threshold is None and calibrated_thr is not None:
+            semantic_threshold = float(calibrated_thr)
+            log.info("semantic gate: checkpoint-calibrated threshold %.6f",
+                     semantic_threshold)
         run = make_sharded_pipeline(
             model, mesh, (x, y, z), vector_scale=vec_scale,
             prob_threshold=prob_threshold, embed_iterations=embed_iterations,
+            semantic_threshold=semantic_threshold,
         )
         bench_start = time.time()
         instance_mask = run(params, volume.astype(np.float32), mean, std)
@@ -450,6 +522,28 @@ def run_inference(
         os.path.exists(p) for p in (vec_path, skel_path, sem_path)
     )
 
+    if semantic_threshold is None:
+        if sparse_ckpt and not cache_hit:
+            # sparse checkpoint: self-calibrate the gate on THIS volume
+            # (train-time calibration measures the training distribution
+            # and under-shoots when the boundary generalizes a fat ring)
+            semantic_threshold = _probe_semantic_threshold(
+                model, params, mean, std, volume[..., None], crop, ov,
+            )
+            if semantic_threshold is not None:
+                log.info(
+                    "semantic gate: volume-calibrated threshold %.6f "
+                    "(probability-histogram valley on probe tiles; "
+                    "vector/skeleton masking stays at %.2f)",
+                    semantic_threshold, prob_threshold,
+                )
+        if semantic_threshold is None and calibrated_thr is not None:
+            semantic_threshold = float(calibrated_thr)
+            log.info("semantic gate: checkpoint-calibrated threshold %.6f",
+                     semantic_threshold)
+        if semantic_threshold is None:
+            semantic_threshold = prob_threshold
+
     if dilation_3d is None or dilation_2d is None:
         # auto mode (the default): derive the stack from the data instead
         # of hard-coding the reference's fixed 1x3D+2x2D (eval.py:152-157),
@@ -490,6 +584,7 @@ def run_inference(
 
     phase1_knobs = {
         "prob_threshold": prob_threshold,
+        "semantic_threshold": semantic_threshold,
         "dilation_3d": dilation_3d,
         "dilation_2d": dilation_2d,
     }
@@ -505,6 +600,10 @@ def run_inference(
             except (ValueError, OSError):
                 recorded = None
         if recorded is not None:
+            # sidecars predating the split semantic gate used one threshold
+            recorded.setdefault(
+                "semantic_threshold", recorded.get("prob_threshold")
+            )
             diffs = {
                 k: (recorded.get(k), v)
                 for k, v in phase1_knobs.items()
@@ -540,7 +639,8 @@ def run_inference(
             skeleton_u8 = np.zeros((x, y, z), np.uint8)
             semantic_u8 = np.zeros((x, y, z), np.uint8)
         tile_fn = _make_tile_fn(
-            model, params, mean, std, prob_threshold, dilation_3d, dilation_2d
+            model, params, mean, std, prob_threshold, dilation_3d,
+            dilation_2d, sem_thr=semantic_threshold
         )
         bench_start = time.time()
         # the phase-1 sweep reads the (possibly memmapped) raw volume tile by

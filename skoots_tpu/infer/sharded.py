@@ -98,6 +98,7 @@ def make_sharded_forward(
     mesh: Mesh,
     prob_threshold: float = 0.8,
     spatial_axis: int = 1,
+    semantic_threshold: float | None = None,
 ):
     """Jitted phase-1 step with the volume sharded over mesh axis 'space'.
 
@@ -112,17 +113,19 @@ def make_sharded_forward(
     spec[spatial_axis] = "space"
     vol_sharding = NamedSharding(mesh, P(*spec))
     rep = NamedSharding(mesh, P())
+    sem_thr = prob_threshold if semantic_threshold is None else semantic_threshold
 
     @jax.jit
     def fwd(params, volume, mean, std):
         x = (volume.astype(jnp.float32) - mean) / std
         out = model.apply(params, x, deterministic=True)
-        keep = (out[..., 4:5] > prob_threshold).astype(out.dtype)
+        prob = out[..., 4:5]
+        keep = (prob > prob_threshold).astype(out.dtype)
         vec = out[..., 0:3] * keep
         skel = binary_dilation(out[..., 3:4] * keep)
         skel = binary_dilation_2d(binary_dilation_2d(skel))
         packed = (skel > prob_threshold).astype(jnp.uint8) | (
-            keep.astype(jnp.uint8) << 1
+            (prob > sem_thr).astype(jnp.uint8) << 1
         )
         return vec.astype(jnp.bfloat16), packed
 
@@ -256,6 +259,7 @@ def make_sharded_pipeline(
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     label_gather: str = "ring",
+    semantic_threshold: float | None = None,
 ):
     """Full volume -> instance labels over the mesh's 'space' axis.
 
@@ -294,7 +298,8 @@ def make_sharded_pipeline(
     pz = -(-z // 4) * 4
     pads = ((0, px - x), (0, py - y), (0, pz - z))
 
-    fwd = make_sharded_forward(model, mesh, prob_threshold)
+    fwd = make_sharded_forward(model, mesh, prob_threshold,
+                               semantic_threshold=semantic_threshold)
     vol3 = NamedSharding(mesh, P("space", None, None))
     rep = NamedSharding(mesh, P())
     scale = jnp.asarray(vector_scale, jnp.float32)

@@ -125,6 +125,61 @@ class TestDistThrFromPoints:
         assert suggest_dist_thr_from_points({}) is None
 
 
+class TestSemanticCalibration:
+    def test_target_fg_fraction_ball(self):
+        import math
+
+        from skoots_tpu.infer.autoknobs import sparse_target_fg_fraction
+
+        frac = sparse_target_fg_fraction(
+            {1: np.array([[16, 16, 16]])}, (32, 32, 32), 3.0
+        )
+        expect = (4 / 3 * math.pi * 27) / 32**3
+        assert frac == pytest.approx(expect, rel=0.25)
+        assert sparse_target_fg_fraction({}, (8, 8, 8), 3.0) is None
+
+    def test_quantile_matching(self):
+        from skoots_tpu.infer.autoknobs import calibrate_semantic_threshold
+
+        probs = np.concatenate([np.full(9000, 0.01), np.full(1000, 0.98)])
+        thr = calibrate_semantic_threshold(probs, 0.1)
+        assert 0.5 <= thr < 0.98  # keeps exactly the top decile
+        # clamp: a degenerate target can never disable the gate
+        assert calibrate_semantic_threshold(probs, 1e-12) <= 0.9999
+
+    def test_histogram_valley_between_clusters(self):
+        """Fat-ring continuum below a saturated foreground cluster (the
+        measured sparse-checkpoint shape, runs/accuracy/sparse/
+        calibration.json): the threshold must land between them."""
+        from skoots_tpu.infer.autoknobs import (
+            calibrate_semantic_threshold_from_histogram,
+        )
+
+        rng = np.random.default_rng(0)
+        ring_logit = rng.uniform(0.5, 6.0, 30000)  # decaying continuum
+        fg_logit = rng.normal(14.0, 1.0, 12000)  # saturated cluster
+        probs = 1 / (1 + np.exp(-np.concatenate([ring_logit, fg_logit])))
+        bg = rng.uniform(0.0, 0.3, 500000)  # below the lo cut, ignored
+        thr = calibrate_semantic_threshold_from_histogram(
+            np.concatenate([probs, bg])
+        )
+        ring_max = 1 / (1 + np.exp(-6.0))
+        fg_min = 1 / (1 + np.exp(-10.0))
+        assert ring_max < thr < fg_min
+
+    def test_histogram_none_without_evidence(self):
+        from skoots_tpu.infer.autoknobs import (
+            calibrate_semantic_threshold_from_histogram,
+        )
+
+        assert calibrate_semantic_threshold_from_histogram(
+            np.full(100000, 0.01)
+        ) is None
+        assert calibrate_semantic_threshold_from_histogram(
+            np.array([0.9] * 10)
+        ) is None
+
+
 class TestDatasetObjectRadius:
     def test_tube_radius_recovered(self, tmp_path):
         """SkootsDataset.object_radius() recovers the synthetic tube radius

@@ -143,7 +143,8 @@ class TestRunInference:
         stem = os.path.splitext(path)[0]
         with open(stem + "_skoots_phase1.json") as f:
             assert json.load(f) == {
-                "prob_threshold": 0.8, "dilation_3d": 0, "dilation_2d": 1}
+                "prob_threshold": 0.8, "semantic_threshold": 0.8,
+                "dilation_3d": 0, "dilation_2d": 1}
         # reload with EXPLICIT different knobs -> must warn (old check
         # compared against hard-coded defaults and stayed silent)
         with caplog.at_level(logging.WARNING, "skoots_tpu.infer.engine"):
@@ -163,6 +164,89 @@ class TestRunInference:
             run_inference(path, tiny_ckpt, use_cached_data=True,
                           dilation_3d=0, dilation_2d=1, **kw)
         assert not any("knob" in str(r.message) for r in caplog.records)
+
+
+class TestSemanticThresholdResolution:
+    """Sparse checkpoints resolve the semantic-gate level automatically:
+    volume probe first, train-time calibrated value as fallback, explicit
+    flag always wins; dense checkpoints keep prob_threshold."""
+
+    def _make_ckpt(self, tmp_path, sparse: bool, calibrated=None):
+        cfg = get_cfg_defaults()
+        cfg.MODEL.DIMS = [4, 8, 16, 8, 4]
+        cfg.MODEL.DEPTHS = [1, 1, 1, 1, 1]
+        cfg.MODEL.OUT_CHANNELS = 4
+        cfg.MODEL.KERNEL_SIZE = 3
+        cfg.EXPERIMENTAL.IS_SPARSE = sparse
+        model, params = init_model(cfg, jax.random.PRNGKey(0),
+                                   spatial=(16, 16, 8))
+        path = str(tmp_path / "m.skoots")
+        extra = ({"calibrated_prob_threshold": calibrated}
+                 if calibrated is not None else None)
+        save_checkpoint(path, cfg, params, dataset_mean=100.0,
+                        dataset_std=50.0, extra=extra)
+        return path
+
+    def _vol(self, tmp_path):
+        image, _, _ = make_tubes(shape=(64, 64, 8), n_tubes=2)
+        p = str(tmp_path / "v.tif")
+        imsave(p, image)
+        return p
+
+    def _sidecar(self, path):
+        import json
+
+        with open(os.path.splitext(path)[0] + "_skoots_phase1.json") as f:
+            return json.load(f)
+
+    KW = dict(crop_size=(48, 48, 8), overlap=(8, 8, 0),
+              assign_crop_size=(48, 48, 8), assign_overlap=(8, 8, 0))
+
+    def test_sparse_probe_calibrates_on_volume(self, tmp_path, monkeypatch):
+        import skoots_tpu.infer.engine as eng
+
+        monkeypatch.setattr(eng, "_probe_semantic_threshold",
+                            lambda *a, **k: 0.93)
+        vol = self._vol(tmp_path)
+        eng.run_inference(vol, self._make_ckpt(tmp_path, sparse=True),
+                          **self.KW)
+        assert self._sidecar(vol)["semantic_threshold"] == 0.93
+
+    def test_probe_fallback_to_recorded(self, tmp_path, monkeypatch):
+        import skoots_tpu.infer.engine as eng
+
+        monkeypatch.setattr(eng, "_probe_semantic_threshold",
+                            lambda *a, **k: None)
+        vol = self._vol(tmp_path)
+        eng.run_inference(
+            vol, self._make_ckpt(tmp_path, sparse=True, calibrated=0.97),
+            **self.KW)
+        assert self._sidecar(vol)["semantic_threshold"] == 0.97
+
+    def test_explicit_flag_wins(self, tmp_path, monkeypatch):
+        import skoots_tpu.infer.engine as eng
+
+        def boom(*a, **k):
+            raise AssertionError("probe must not run with an explicit flag")
+
+        monkeypatch.setattr(eng, "_probe_semantic_threshold", boom)
+        vol = self._vol(tmp_path)
+        eng.run_inference(
+            vol, self._make_ckpt(tmp_path, sparse=True, calibrated=0.97),
+            semantic_threshold=0.88, **self.KW)
+        assert self._sidecar(vol)["semantic_threshold"] == 0.88
+
+    def test_dense_ckpt_keeps_prob_threshold(self, tmp_path, monkeypatch):
+        import skoots_tpu.infer.engine as eng
+
+        def boom(*a, **k):
+            raise AssertionError("dense checkpoints must not probe")
+
+        monkeypatch.setattr(eng, "_probe_semantic_threshold", boom)
+        vol = self._vol(tmp_path)
+        eng.run_inference(vol, self._make_ckpt(tmp_path, sparse=False),
+                          **self.KW)
+        assert self._sidecar(vol)["semantic_threshold"] == 0.8
 
 
 class TestTileVsWhole:

@@ -117,6 +117,13 @@ class TestSparseTrainE2E:
         assert rc == 0
         ckpts = glob.glob(os.path.join(str(save_dir), "*_sparse.skoots"))
         assert len(ckpts) == 1
+        # sparse checkpoints self-calibrate their semantic-gate threshold at
+        # save time (sparse_engine.make_threshold_calibrator)
+        from skoots_tpu.train.checkpoint import load_checkpoint
+
+        extra = load_checkpoint(ckpts[0])["extra"]
+        cal = extra.get("calibrated_prob_threshold")
+        assert cal is not None and 0.5 <= cal <= 0.9999
 
 
 class TestModifiers:
