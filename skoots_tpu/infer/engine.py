@@ -147,6 +147,27 @@ def _gather_ids(labels_crop: jax.Array, idx: jax.Array, origin: jax.Array,
     return jnp.where(fg > 0, inst, 0)
 
 
+@jax.jit
+def _gather_ids_slab(labels_slab: jax.Array, idx: jax.Array, x0: jax.Array,
+                     fg: jax.Array, acc: jax.Array) -> jax.Array:
+    """Phase-3b streamed variant: gather from ONE x-slab of the label
+    volume, accumulating into ``acc`` across slabs.
+
+    This is the memory-bounded fallback for walks whose reached bbox
+    exceeds the label-crop budget (an untrained or mis-scaled model can
+    walk ~n_iter*scale voxels, making the bbox the whole volume — the
+    fast path would then copy + upload O(volume) labels per tile batch).
+    The slab spans the FULL y/z extent so every batch compiles to one
+    program; only x membership is tested. ``idx`` y/z are already clipped
+    to the volume."""
+    relx = idx[..., 0] - x0
+    depth = labels_slab.shape[0]
+    inb = (relx >= 0) & (relx < depth)
+    rx = jnp.clip(relx, 0, depth - 1)
+    inst = labels_slab[rx, idx[..., 1], idx[..., 2]]
+    return jnp.where(inb & (fg > 0), inst, acc)
+
+
 def _bucket_bbox(mins, maxs, vol_shape, quantum=(64, 64, 16)):
     """Round a bbox up to quantized shapes (few distinct compiled gathers)
     and clamp it inside the volume. Returns (origin, shape) int tuples."""
@@ -341,6 +362,7 @@ def run_inference(
     output_path: Optional[str] = None,
     out_of_core: Optional[bool] = None,
     semantic_gate: bool = True,
+    label_crop_budget_bytes: Optional[int] = None,
 ) -> np.ndarray:
     """Segment a volume. Writes ``<image>_instance_mask.tif`` and
     ``<image>_skoots_benchmark.txt`` (reference contract, eval.py:285-310).
@@ -708,6 +730,21 @@ def run_inference(
     embed_fn = _make_embed_fn(vec_scale, (x, y, z), embed_iterations,
                               embed_decay, embed_exit_fraction)
 
+    # Label-crop budget: when a batch's reached bbox would copy more label
+    # bytes than this to host+device, fall back to streaming fixed-shape
+    # x-slabs of the label volume through _gather_ids_slab instead. Trained
+    # models walk locally (bbox ~ tile + walk margin) and never trip this;
+    # pathological fields (untrained weights, wrong vector scale) would
+    # otherwise cost O(volume) host RSS and H2D bytes PER TILE BATCH
+    # (measured: 84 GB anon RSS on a 1024^3 random-init proof run).
+    if label_crop_budget_bytes is None:
+        label_crop_budget_bytes = int(
+            os.environ.get("SKOOTS_LABEL_CROP_BYTES", 512 * 1024 * 1024)
+        )
+    slab_depth = max(16, min(x, label_crop_budget_bytes // max(y * z * 4, 1))
+                     // 16 * 16)
+    streamed_batches = 0
+
     pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
     padded_shape = tuple(d + p[0] + p[1] for d, p in zip((x, y, z), pads))
     origins = crop_origins(padded_shape, a_crop, a_ov)
@@ -738,12 +775,41 @@ def run_inference(
         lab_origin, lab_shape = _bucket_bbox(
             np.asarray(mins), np.asarray(maxs), (x, y, z)
         )
-        lab_sl = tuple(slice(o, o + s) for o, s in zip(lab_origin, lab_shape))
-        labels_crop = np.ascontiguousarray(labeled[lab_sl])
-        ids = np.asarray(_gather_ids(
-            jnp.asarray(labels_crop), idx,
-            jnp.asarray(lab_origin, jnp.int32), jnp.asarray(fg),
-        ))
+        if lab_shape[0] * lab_shape[1] * lab_shape[2] * 4 <= label_crop_budget_bytes:
+            lab_sl = tuple(
+                slice(o, o + s) for o, s in zip(lab_origin, lab_shape)
+            )
+            labels_crop = np.ascontiguousarray(labeled[lab_sl])
+            ids = np.asarray(_gather_ids(
+                jnp.asarray(labels_crop), idx,
+                jnp.asarray(lab_origin, jnp.int32), jnp.asarray(fg),
+            ))
+        else:
+            if streamed_batches == 0:
+                log.warning(
+                    "phase 3: walk bbox %s exceeds the label-crop budget "
+                    "(%.0f MB, SKOOTS_LABEL_CROP_BYTES) — streaming %d-deep "
+                    "label slabs instead (bounded memory, more dispatches). "
+                    "This usually means the model's embedding walks are not "
+                    "converging locally (untrained weights or wrong "
+                    "SKOOTS.VECTOR_SCALING).",
+                    lab_shape, label_crop_budget_bytes / 1e6, slab_depth,
+                )
+            streamed_batches += 1
+            fg_dev = jnp.asarray(fg)
+            acc = jnp.zeros(idx.shape[:-1], jnp.int32)
+            x_lo, x_hi = int(mins[0]), int(maxs[0]) + 1
+            for xs in range((x_lo // slab_depth) * slab_depth, x_hi,
+                            slab_depth):
+                slab = np.ascontiguousarray(labeled[xs : xs + slab_depth])
+                if slab.shape[0] < slab_depth:  # fixed shape -> one program
+                    slab = np.pad(
+                        slab, ((0, slab_depth - slab.shape[0]), (0, 0), (0, 0))
+                    )
+                acc = _gather_ids_slab(
+                    jnp.asarray(slab), idx, jnp.int32(xs), fg_dev, acc
+                )
+            ids = np.asarray(acc)
         for i, o in enumerate(batch_origins[:real]):
             _write_interior(
                 instance_mask, ids[i], o, a_crop, a_ov, pads, (x, y, z)

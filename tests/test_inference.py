@@ -123,6 +123,32 @@ class TestRunInference:
         )
         np.testing.assert_array_equal(m1, m2)
 
+    def test_streamed_label_gather_matches_fast_path(self, tiny_ckpt,
+                                                     tmp_path):
+        """A tile batch whose walk bbox exceeds the label-crop budget falls
+        back to streaming fixed-shape x-slabs (``_gather_ids_slab``); the
+        result must be voxel-identical to the single-crop fast path. The
+        untrained checkpoint's saturated vectors walk ~n_iter*scale voxels,
+        which is exactly the pathology that made the fast path copy
+        O(volume) label bytes per batch (1024^3 proof run: 84 GB anon RSS)."""
+        from skoots_tpu.infer import run_inference
+
+        image, _, _ = make_tubes(shape=(64, 64, 8), n_tubes=2)
+        path = str(tmp_path / "vol.tif")
+        imsave(path, image)
+        kw = dict(crop_size=(48, 48, 8), overlap=(8, 8, 0),
+                  assign_crop_size=(48, 48, 8), assign_overlap=(8, 8, 0),
+                  # loose threshold + no gate: the untrained model must
+                  # still produce nonzero labels or the equality is vacuous
+                  prob_threshold=0.35, semantic_gate=False)
+        fast = run_inference(path, tiny_ckpt, **kw)
+        streamed = run_inference(
+            path, tiny_ckpt, use_cached_data=True,
+            label_crop_budget_bytes=1, **kw,
+        )
+        assert (np.asarray(fast) != 0).any()
+        np.testing.assert_array_equal(np.asarray(streamed), np.asarray(fast))
+
     def test_cached_knob_mismatch_warns_from_sidecar(self, tiny_ckpt,
                                                      tube_tif, caplog):
         """ADVICE r3: the phase-1 knobs (threshold/dilation) are persisted in

@@ -48,6 +48,49 @@ def synthesize(path: str, shape, seed: int = 0, slab: int = 64) -> None:
     del img
 
 
+class _AnonRssSampler:
+    """Peak ANONYMOUS RSS, sampled from /proc/self/status.
+
+    ``ru_maxrss`` counts resident file-backed memmap pages too — page
+    cache the kernel reclaims under pressure — so on a memmap-streaming
+    workload it reports ~volume-sized numbers that say nothing about real
+    allocations (the first 1024^3 run: ru_maxrss 99 GB, of which 17 GB
+    was reclaimable cache of the six output memmaps)."""
+
+    def __init__(self, interval_s: float = 1.0):
+        import threading
+
+        self.peak_kb = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, args=(interval_s,),
+                                   daemon=True)
+
+    @staticmethod
+    def _read_kb() -> int:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("RssAnon:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return 0
+
+    def _run(self, interval_s):
+        while not self._stop.is_set():
+            self.peak_kb = max(self.peak_kb, self._read_kb())
+            self._stop.wait(interval_s)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=5)
+        self.peak_kb = max(self.peak_kb, self._read_kb())
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="1024,1024,1024")
@@ -56,6 +99,11 @@ def main() -> int:
     ap.add_argument("--crop", default="192,192,96")
     ap.add_argument("--overlap", default="8,8,4")
     ap.add_argument("--assign-crop", default="256,256,64")
+    ap.add_argument("--ckpt", default=None,
+                    help="use this trained checkpoint instead of a "
+                         "random-init model (realistic, locally-converging "
+                         "embedding walks -> phase 3 stays on the "
+                         "crop-gather fast path)")
     args = ap.parse_args()
     shape = tuple(int(v) for v in args.shape.split(","))
 
@@ -85,16 +133,21 @@ def main() -> int:
         synthesize(img_path, shape)
     synth_s = time.time() - t0
 
-    # flagship default-config model, random init (the proof is about the
-    # pipeline's memory/throughput envelope, not accuracy)
-    from skoots_tpu.config import get_cfg_defaults
-    from skoots_tpu.models import init_model
-    from skoots_tpu.train.checkpoint import save_checkpoint
+    if args.ckpt:
+        ckpt = args.ckpt
+    else:
+        # flagship default-config model, random init (the proof is about
+        # the pipeline's memory/throughput envelope, not accuracy)
+        from skoots_tpu.config import get_cfg_defaults
+        from skoots_tpu.models import init_model
+        from skoots_tpu.train.checkpoint import save_checkpoint
 
-    ckpt = os.path.join(args.outdir, "model.skoots")
-    cfg = get_cfg_defaults()
-    model, params = init_model(cfg, jax.random.PRNGKey(0), spatial=(64, 64, 16))
-    save_checkpoint(ckpt, cfg, params, dataset_mean=128.0, dataset_std=64.0)
+        ckpt = os.path.join(args.outdir, "model.skoots")
+        cfg = get_cfg_defaults()
+        model, params = init_model(cfg, jax.random.PRNGKey(0),
+                                   spatial=(64, 64, 16))
+        save_checkpoint(ckpt, cfg, params, dataset_mean=128.0,
+                        dataset_std=64.0)
 
     import tracemalloc
 
@@ -103,16 +156,19 @@ def main() -> int:
     tracemalloc.start()
     baseline = tracemalloc.get_traced_memory()[0]
     t0 = time.time()
-    mask = run_inference(
-        img_path,
-        ckpt,
-        crop_size=tuple(int(v) for v in args.crop.split(",")),
-        overlap=tuple(int(v) for v in args.overlap.split(",")),
-        assign_crop_size=tuple(int(v) for v in args.assign_crop.split(",")),
-        assign_overlap=(8, 8, 4),
-        out_of_core=True,
-        output_path=os.path.join(args.outdir, "instance.npy"),
-    )
+    with _AnonRssSampler() as rss:
+        mask = run_inference(
+            img_path,
+            ckpt,
+            crop_size=tuple(int(v) for v in args.crop.split(",")),
+            overlap=tuple(int(v) for v in args.overlap.split(",")),
+            assign_crop_size=tuple(
+                int(v) for v in args.assign_crop.split(",")
+            ),
+            assign_overlap=(8, 8, 4),
+            out_of_core=True,
+            output_path=os.path.join(args.outdir, "instance.npy"),
+        )
     wall = time.time() - t0
     _, tm_peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
