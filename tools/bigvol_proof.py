@@ -104,6 +104,11 @@ def main() -> int:
                          "random-init model (realistic, locally-converging "
                          "embedding walks -> phase 3 stays on the "
                          "crop-gather fast path)")
+    ap.add_argument("--phantom", choices=("blocks", "tubes"),
+                    default="blocks",
+                    help="'tubes' rasterizes bbox-local tube instances "
+                         "(in-distribution for a tube-trained --ckpt)")
+    ap.add_argument("--n-tubes", type=int, default=160)
     args = ap.parse_args()
     shape = tuple(int(v) for v in args.shape.split(","))
 
@@ -125,12 +130,34 @@ def main() -> int:
     enable_compilation_cache()
 
     os.makedirs(args.outdir, exist_ok=True)
-    img_path = os.path.join(args.outdir, "bigvol.npy")
+    img_path = os.path.join(
+        args.outdir, "bigvol.npy" if args.phantom == "blocks"
+        else "bigvol_tubes.npy"
+    )
     t0 = time.time()
     if not os.path.exists(img_path) or tuple(
         np.load(img_path, mmap_mode="r").shape
     ) != shape:
-        synthesize(img_path, shape)
+        if args.phantom == "blocks":
+            synthesize(img_path, shape)
+        else:
+            # bbox-local tube rasterizer (O(sum tube bboxes), not
+            # O(volume * path points)); labels are synthesis bookkeeping
+            # only — freed before the measured run
+            from skoots_tpu.utils.io import open_outofcore
+            from tools.seam_bench_agreement import make_tubes_big
+
+            img, labels, n_placed = make_tubes_big(
+                shape, args.n_tubes, radius=5.0, seed=11,
+                min_separation=14.0,
+            )
+            del labels
+            out = open_outofcore(img_path, shape, "uint8")
+            for x0 in range(0, shape[0], 64):
+                out[x0 : x0 + 64] = img[x0 : x0 + 64]
+            out.flush()
+            del out, img
+            print(f"tubes phantom: {n_placed} placed", flush=True)
     synth_s = time.time() - t0
 
     if args.ckpt:
@@ -194,13 +221,16 @@ def main() -> int:
         "vox_per_s": round(vox / wall, 1),
         "synth_s": round(synth_s, 1),
         "n_instances": n_inst,
-        "peak_rss_mb": round(
+        "peak_anon_rss_mb": round(rss.peak_kb / 1024, 1),
+        "peak_rss_incl_page_cache_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
         ),
         "tracemalloc_delta_mb": round((tm_peak - baseline) / 1e6, 1),
         "device_memory_stats": dev_stats,
         "out_of_core": True,
         "backend": jax.default_backend(),
+        "phantom": args.phantom,
+        "checkpoint": ckpt,
     }
     with open(os.path.join(args.outdir, "result.json"), "w") as f:
         json.dump(result, f, indent=2)
