@@ -21,9 +21,12 @@ import argparse
 import json
 import os
 import resource
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synthesize(path: str, shape, seed: int = 0, slab: int = 64) -> None:
