@@ -304,13 +304,14 @@ def upsample_trilinear(x: jax.Array, factor: int = 2) -> jax.Array:
 
     Hand-rolled separable interleave: numerically identical to
     ``jax.image.resize(..., 'trilinear')`` at factor 2 but compiles in
-    seconds instead of minutes and runs as three fused elementwise passes."""
+    seconds instead of minutes. At factor 2 the whole op runs as one
+    Pallas VMEM pass when eligible (kernels/upsample.py; the XLA
+    three-pass composition costs ~45 ms vs a ~2 ms roofline per 256^2x96
+    tile, runs/fwd_split.json) with this composition as fallback."""
     if factor == 2:
-        dt = x.dtype
-        y = x.astype(jnp.float32)
-        for ax in range(1, 4):
-            y = _upsample2x_axis(y, ax)
-        return y.astype(dt)
+        from skoots_tpu.kernels.upsample import upsample2x_trilinear
+
+        return upsample2x_trilinear(x)
     b, sx, sy, sz, c = x.shape
     return jax.image.resize(
         x, (b, sx * factor, sy * factor, sz * factor, c), method="trilinear"

@@ -21,6 +21,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA:CPU compile cache: the fast suite is compile-bound
+# (load-bearing e2e/model tests), and warm re-runs are ~2.4x faster
+# (test_compat: 91 s cold -> 37 s warm). SKOOTS_COMPILE_CACHE=off to
+# disable; the dir is keyed by backend so it never mixes with TPU.
+from skoots_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

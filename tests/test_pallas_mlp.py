@@ -33,8 +33,8 @@ class TestFusedKernelParity:
         got = np.asarray(_mlp_call(x, s, ls, lb, w1, b1, w2, b2, g,
                                    interpret=True))
         want = np.asarray(_xla_tail(x, s, ls, lb, w1, b1, w2, b2, g))
-        # kernel gelu uses the tanh form (no erf lowering in Mosaic):
-        # |tanh-form - erf-form| <= 1.5e-3 pre-pw2; sub-ULP in bf16 outputs
+        # kernel gelu uses the A&S erf polynomial (no erf lowering in
+        # Mosaic), |err| <= 1.5e-7; tolerance is set by bf16 rounding
         np.testing.assert_allclose(got, want, atol=4e-3, rtol=1e-3)
 
     def test_non_divisible_tile_picks_smaller(self, rng):
