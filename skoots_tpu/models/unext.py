@@ -15,6 +15,7 @@ by 2x in every spatial axis.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Sequence
 
@@ -136,8 +137,26 @@ class StemConv3D(nn.Module):
         bb = bias.astype(self.dtype)
         impl = self.impl
         if impl == "auto":
+            impl = os.environ.get("SKOOTS_STEM_IMPL", "auto")
+        if impl == "auto":
             on_tpu = any(d.platform == "tpu" for d in jax.devices())
             impl = "pallas" if on_tpu else "xla"
+        if x.shape[-1] == 1 and impl == "im2col":
+            # C_in=1 conv as im2col + MXU matmul: the broadcast-depthwise
+            # path below is VPU-bound at ~47 ms per 256^2x96 tile (343
+            # taps/elem on the VPU, runs/fwd_split.json); patches+dot pays
+            # ~k^3x HBM traffic on the 1-channel input but runs the taps
+            # as a [V, k^3] x [k^3, C] MXU contraction.
+            pat = jax.lax.conv_general_dilated_patches(
+                x, (k, k, k), (1, 1, 1), "SAME",
+                dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+            )
+            w = kb[:, :, :, 0, :].reshape(k * k * k, self.dim)
+            out = jnp.dot(
+                pat.reshape(-1, k * k * k), w,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            return out.reshape(x.shape[:-1] + (self.dim,)) + bb
         wide = jnp.broadcast_to(x, x.shape[:-1] + (self.dim,))
         if (x.shape[-1] == 1 and impl == "pallas"
                 and _pallas_dwconv_eligible(wide, k)):
@@ -263,15 +282,60 @@ class ConvNeXtBlock3D(nn.Module):
         return shortcut + x
 
 
+class _ConvParams(nn.Module):
+    """Param mirror of nn.Conv (lecun_normal kernel, zero bias) for
+    branches that run the conv as an explicit matmul."""
+
+    shape: tuple
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), self.shape),
+            self.param("bias", nn.initializers.zeros, (self.dout,)),
+        )
+
+
 class Downsample(nn.Module):
-    """LayerNorm + strided 2^3 conv (resolution /2, channels -> dim)."""
+    """LayerNorm + strided 2^3 conv (resolution /2, channels -> dim).
+
+    The 2^3/stride-2 windows never overlap, so impl='matmul' runs the conv
+    as reshape -> [V/8, 8C] x [8C, dim] on the MXU (the XLA conv lowering
+    measured 18.6 ms per 256^2x96 tile against a ~1.5 ms traffic bound,
+    runs/fwd_split.json). Both branches build the identical nn.Conv param
+    tree (conv/kernel [2,2,2,C,dim], conv/bias [dim])."""
 
     dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        impl = self.impl
+        if impl == "auto":
+            impl = os.environ.get("SKOOTS_DOWNSAMPLE_IMPL", "auto")
+        c = x.shape[-1]
+        if impl == "auto":
+            # stays on the conv lowering until tools/bench_stemdown.py
+            # confirms the matmul path on hardware
+            impl = "xla"
+        even = all(d % 2 == 0 for d in x.shape[1:4])
+        if impl == "matmul" and even:
+            kern, bias = _ConvParams((2, 2, 2, c, self.dim), self.dim,
+                                     name="conv")()
+            kb = kern.astype(self.dtype)
+            bb = bias.astype(self.dtype)
+            b, sx, sy, sz, _ = x.shape
+            h = x.reshape(b, sx // 2, 2, sy // 2, 2, sz // 2, 2, c)
+            h = h.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            # (2x, 2y, 2z, c) row-major == kernel[kx, ky, kz, c] flatten
+            y = jnp.dot(
+                h.reshape(-1, 8 * c), kb.reshape(8 * c, self.dim),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype) + bb
+            return y.reshape(b, sx // 2, sy // 2, sz // 2, self.dim)
         return nn.Conv(
             self.dim, kernel_size=(2, 2, 2), strides=(2, 2, 2), dtype=self.dtype,
             name="conv",
