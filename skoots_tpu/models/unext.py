@@ -463,6 +463,31 @@ class UNeXT3D(nn.Module):
             )
             x = stage(x, dims[d], depths[d], f"dec{s}")
 
+        from skoots_tpu.kernels.lnhead import ln_head, ln_head_eligible
+
+        impl = os.environ.get("SKOOTS_LNHEAD_IMPL", "auto")
+        use_fused = (
+            impl in ("auto", "pallas")
+            and ln_head_eligible(x)
+            and (
+                impl == "pallas"
+                or (jax.default_backend() == "tpu"
+                    and x.dtype == jnp.bfloat16)
+            )
+        )
+        if use_fused:
+            # fused LN + 1x1 head (kernels/lnhead.py): identical param
+            # tree to the flax composition below
+            ls, lb = _LNParams(x.shape[-1], name="final_norm")()
+            kern, bias = _ConvParams(
+                (1, 1, 1, x.shape[-1], self.out_channels),
+                self.out_channels, name="head_conv",
+            )()
+            return ln_head(
+                x, ls.astype(self.dtype), lb.astype(self.dtype),
+                kern.reshape(x.shape[-1], self.out_channels).astype(self.dtype),
+                bias.astype(self.dtype),
+            )
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         x = nn.Conv(
             self.out_channels, kernel_size=(1, 1, 1), dtype=self.dtype,
