@@ -142,11 +142,12 @@ class StemConv3D(nn.Module):
             on_tpu = any(d.platform == "tpu" for d in jax.devices())
             impl = "pallas" if on_tpu else "xla"
         if x.shape[-1] == 1 and impl == "im2col":
-            # C_in=1 conv as im2col + MXU matmul: the broadcast-depthwise
-            # path below is VPU-bound at ~47 ms per 256^2x96 tile (343
-            # taps/elem on the VPU, runs/fwd_split.json); patches+dot pays
-            # ~k^3x HBM traffic on the 1-channel input but runs the taps
-            # as a [V, k^3] x [k^3, C] MXU contraction.
+            # Measured DEAD END, kept for the record (runs/
+            # bench_stemdown.json): 433.9 ms vs pallas 41.3 / xla 164.2
+            # per 256^2x96 tile on v5e — conv_general_dilated_patches
+            # lowers as a real 1->k^3-channel conv and dominates. The
+            # broadcast-depthwise Pallas path at ~2.9 TFLOP/s effective
+            # VPU is the measured floor for a C_in=1 k^3 stem.
             pat = jax.lax.conv_general_dilated_patches(
                 x, (k, k, k), (1, 1, 1), "SAME",
                 dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
@@ -301,10 +302,12 @@ class Downsample(nn.Module):
     """LayerNorm + strided 2^3 conv (resolution /2, channels -> dim).
 
     The 2^3/stride-2 windows never overlap, so impl='matmul' runs the conv
-    as reshape -> [V/8, 8C] x [8C, dim] on the MXU (the XLA conv lowering
-    measured 18.6 ms per 256^2x96 tile against a ~1.5 ms traffic bound,
-    runs/fwd_split.json). Both branches build the identical nn.Conv param
-    tree (conv/kernel [2,2,2,C,dim], conv/bias [dim])."""
+    as reshape -> [V/8, 8C] x [8C, dim] on the MXU. Measured DEAD END,
+    kept for the record (runs/bench_stemdown.json): 27.7 ms vs the XLA
+    conv lowering's 14.9 ms per 256^2x96 tile on v5e — the 8-way
+    window-gather transpose relayout costs more than the conv saves.
+    Both branches build the identical nn.Conv param tree
+    (conv/kernel [2,2,2,C,dim], conv/bias [dim])."""
 
     dim: int
     dtype: jnp.dtype = jnp.bfloat16
