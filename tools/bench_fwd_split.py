@@ -111,9 +111,25 @@ def main() -> int:
         @nn.compact
         def __call__(self, x):
             x = nn.LayerNorm(dtype=jnp.bfloat16)(x)
-            return nn.Conv(5, (1, 1, 1), dtype=jnp.bfloat16)(x)
+            return nn.Conv(32, (1, 1, 1), dtype=jnp.bfloat16)(x)
 
-    add("final LN + head conv", _Head(), (*full, 32), 1)
+    class _HeadFused(nn.Module):
+        """The model's actual tail since kernels/lnhead.py: one Pallas
+        pass for final_norm + head_conv (32 -> 32)."""
+
+        @nn.compact
+        def __call__(self, x):
+            from skoots_tpu.kernels.lnhead import ln_head
+
+            c = x.shape[-1]
+            ls = self.param("scale", nn.initializers.ones, (c,))
+            lb = self.param("bias", nn.initializers.zeros, (c,))
+            w = self.param("kernel", nn.initializers.lecun_normal(), (c, 32))
+            b = self.param("cbias", nn.initializers.zeros, (32,))
+            return ln_head(x, ls, lb, w.astype(x.dtype), b.astype(x.dtype))
+
+    add("final LN + head conv", _HeadFused(), (*full, 32), 1)
+    add("micro: LN+head via XLA", _Head(), (*full, 32), 0)
 
     # micro-ops: pin down WHERE block time goes (the dwconv kernel's floor
     # is known: ~6.9 ms/Mvox; everything else in a block is LN + matmuls +
