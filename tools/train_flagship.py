@@ -12,7 +12,12 @@ Training hyperparameters are the campaign's proven regime (vector scaling
 (12,12,6), front-loaded sigma decay) — the proof needs a converged
 embedding field, not the reference's production scaling constants.
 
-Usage: python tools/train_flagship.py [--epochs 60] [--cpu]
+`--scenario blobs` trains the same flagship config on the campaign's
+blobs phantom: the campaign's reduced model leaves one diagnosed
+model-level merge there (17/19, runs/accuracy/blobs/result.json); this
+measures whether flagship capacity separates what the small model can't.
+
+Usage: python tools/train_flagship.py [--epochs 60] [--scenario S] [--cpu]
 """
 
 from __future__ import annotations
@@ -34,9 +39,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--steps-per-epoch", type=int, default=10)
-    ap.add_argument("--outdir", default="runs/flagship")
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--scenario", default="separated")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.outdir is None:
+        args.outdir = ("runs/flagship" if args.scenario == "separated"
+                       else f"runs/flagship_{args.scenario}")
 
     if args.cpu:
         import jax
@@ -48,10 +57,11 @@ def main() -> int:
     root = os.path.abspath(args.outdir)
     save_dir = os.path.join(root, "models")
     os.makedirs(save_dir, exist_ok=True)
-    train_dir, val_dir = build_dataset(root, "separated")
+    train_dir, val_dir = build_dataset(root, args.scenario)
 
     cfg_path = os.path.join(root, "cfg.yaml")
-    cfg = write_cfg(cfg_path, train_dir, save_dir, args.epochs, "separated")
+    cfg = write_cfg(cfg_path, train_dir, save_dir, args.epochs,
+                    args.scenario)
     # flagship model on the campaign training regime
     cfg["MODEL"] = {
         "DIMS": [32, 64, 128, 64, 32],
