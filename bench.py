@@ -185,6 +185,8 @@ def _run(shape, crop, overlap, repeats) -> dict:
         "shape": list(shape),
         "phase_s": phases,
         "phase_s_first": first_phases,
+        "cc_rounds": getattr(run, "last_cc_rounds", None),
+        "cc_converged": getattr(run, "last_cc_converged", None),
         "setup_s": setup_s,
         "model_flops_per_vox": (
             round(model_flops_tile / tile_vox, 1) if model_flops_tile > 0 else None

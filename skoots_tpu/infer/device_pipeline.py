@@ -355,6 +355,8 @@ def make_chunked_pipeline(
         vec_full, skel_full = trim(vec_buf, skel_buf)
         del vec_buf, skel_buf
         labels = stepped_cc(skel_full & 1, max_rounds=cc_rounds)
+        run.last_cc_rounds = getattr(stepped_cc, "last_rounds", None)
+        run.last_cc_converged = getattr(stepped_cc, "last_converged", None)
         mark("2-cc", labels)
 
         inst = jnp.zeros((x, y, z), jnp.int32)

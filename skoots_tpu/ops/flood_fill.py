@@ -246,10 +246,18 @@ def make_label_components_stepped(
 
     def label(binary, max_rounds: int = 64):
         fg, labels = init(binary)
+        rounds = 0
+        converged = False
         for _ in range(0, max_rounds, rounds_per_dispatch):
             labels, changed = round_block(fg, labels)
+            rounds += rounds_per_dispatch
             if not bool(changed):
+                converged = True
                 break
+        # telemetry for callers (bench phase attribution): how much of the
+        # round budget the volume actually needed
+        label.last_rounds = rounds
+        label.last_converged = converged
         return labels
 
     return label
