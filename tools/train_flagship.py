@@ -41,11 +41,18 @@ def main() -> int:
     ap.add_argument("--steps-per-epoch", type=int, default=10)
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--scenario", default="separated")
+    ap.add_argument("--sharp", action="store_true",
+                    help="sharper embedding regime: one extra 0.5x sigma "
+                         "decay at 95%% of training (final sigma ~0.9 vs "
+                         "~1.7) — probes whether the touching-blobs merge "
+                         "(runs/accuracy/blobs) is a basin-sharpness "
+                         "problem")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.outdir is None:
         args.outdir = ("runs/flagship" if args.scenario == "separated"
-                       else f"runs/flagship_{args.scenario}")
+                       else f"runs/flagship_{args.scenario}"
+                       + ("_sharp" if args.sharp else ""))
 
     if args.cpu:
         import jax
@@ -69,6 +76,10 @@ def main() -> int:
         "KERNEL_SIZE": 7,
         "OUT_CHANNELS": 32,
     }
+    if args.sharp:
+        cfg["TRAIN"]["SIGMA_DECAY"] = cfg["TRAIN"]["SIGMA_DECAY"] + [
+            [0.5, int(args.epochs * 0.95)]
+        ]
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
 
