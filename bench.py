@@ -185,6 +185,7 @@ def _run(shape, crop, overlap, repeats) -> dict:
         "shape": list(shape),
         "phase_s": phases,
         "phase_s_first": first_phases,
+        "cc_impl": getattr(run, "last_cc_impl", None),
         "cc_rounds": getattr(run, "last_cc_rounds", None),
         "cc_converged": getattr(run, "last_cc_converged", None),
         "setup_s": setup_s,

@@ -126,3 +126,28 @@ class TestChunkedPipeline:
             model, params, vol, mean, std, tiles_per_dispatch=2, **kwargs
         )
         np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
+
+    def test_chunked_sparse_cc_matches_dense(self):
+        """cc_impl='sparse' must produce the identical instance map (the
+        sparse CC's labeling convention is bit-equal to the dense one)."""
+        import jax
+        from skoots_tpu.infer.device_pipeline import segment_volume_chunked
+        from skoots_tpu.models import init_model
+
+        cfg = get_cfg_defaults()
+        cfg.MODEL.DIMS = [4, 8, 16, 8, 4]
+        cfg.MODEL.DEPTHS = [1, 1, 1, 1, 1]
+        cfg.MODEL.OUT_CHANNELS = 4
+        cfg.MODEL.KERNEL_SIZE = 3
+        model, params = init_model(cfg, jax.random.PRNGKey(0), spatial=(16, 16, 8))
+        shape = (48, 40, 12)
+        vol = jnp.asarray(np.random.default_rng(1).random(shape, np.float32) * 255)
+        mean, std = jnp.float32(128.0), jnp.float32(64.0)
+        kwargs = dict(crop=(32, 32, 8), overlap=(4, 4, 2), embed_iterations=2)
+        dense = segment_volume_chunked(
+            model, params, vol, mean, std, cc_impl="dense", **kwargs
+        )
+        sparse = segment_volume_chunked(
+            model, params, vol, mean, std, cc_impl="sparse", **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(sparse))
