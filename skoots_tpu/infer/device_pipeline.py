@@ -295,15 +295,15 @@ def make_chunked_pipeline(
         jumps_per_round=cc_jumps_per_round,
     )
 
-    # sparse point-cloud CC (ops/flood_fill.py::label_components_sparse):
-    # O(log diameter) union-find rounds on the ~1-3% foreground instead of
-    # O(diameter) full-volume propagate passes. Capacity n_max = ~3% of
-    # the volume; on overflow / non-convergence the `ok` flag routes the
-    # volume to the dense engine (bit-identical labeling convention).
+    # sparse point-cloud CC (ops/flood_fill.py::label_components_sparse)
+    # is OPT-IN only: measured on v5e at the 512^3 bench it LOSES 4x
+    # (CC phase 5.5 s dense -> 23.6 s sparse, /tmp/bench_r04i run,
+    # BASELINE.md round-4) — the single-op gather/scatter microbench
+    # rates (runs/bench_gather.json) do not compose inside the
+    # union-find while_loop. Kept for point-cloud-shaped workloads and
+    # as the measured record.
     cc_impl = os.environ.get("SKOOTS_CC_IMPL", cc_impl)
-    use_sparse_cc = cc_impl == "sparse" or (
-        cc_impl == "auto" and jax.default_backend() == "tpu"
-    )
+    use_sparse_cc = cc_impl == "sparse"
     cc_n_max = max(1 << 14, ((x * y * z) // 32 + 8191) // 8192 * 8192)
 
     def run_cc(fg):

@@ -122,7 +122,12 @@ def dwconv3d_pallas(
     def one(xi):
         return _dwconv3d_call(xi, weights, bias, bx, by, interpret=interpret)
 
-    out = jax.vmap(one)(x)
+    # unrolled batch, NOT jax.vmap: vmap gives the ANY-space operand a
+    # Squeezed batch block spec that Mosaic rejects for B >= 2
+    if bsz == 1:
+        out = one(x[0])[None]
+    else:
+        out = jnp.stack([one(x[i]) for i in range(bsz)])
     return out[0] if squeeze else out
 
 
@@ -353,7 +358,12 @@ def dwconv3d_pallas_v4(
         )(xpacked, wpacked, bpacked)
         return out.reshape(xs, ys, zs, c)
 
-    out = jax.vmap(one)(x)
+    # unrolled batch, NOT jax.vmap: vmap gives the ANY-space operand a
+    # Squeezed batch block spec that Mosaic rejects for B >= 2
+    if bsz == 1:
+        out = one(x[0])[None]
+    else:
+        out = jnp.stack([one(x[i]) for i in range(bsz)])
     return out[0] if squeeze else out
 
 
@@ -488,6 +498,11 @@ def dwconv3d_pallas_v6(
         )(xpacked, wpacked, bpacked)
         return out.reshape(xs, ys, zs, c)
 
-    out = jax.vmap(one)(x)
+    # unrolled batch, NOT jax.vmap: vmap gives the ANY-space operand a
+    # Squeezed batch block spec that Mosaic rejects for B >= 2
+    if bsz == 1:
+        out = one(x[0])[None]
+    else:
+        out = jnp.stack([one(x[i]) for i in range(bsz)])
     return out[0] if squeeze else out
 

@@ -213,13 +213,18 @@ def upsample2x_eligible(x: jax.Array) -> bool:
 
 
 def _pallas_impl(x: jax.Array, interpret=False) -> jax.Array:
-    _, xs, ys, zs, c = x.shape
+    b, xs, ys, zs, c = x.shape
     bx, by, bz = _pick_blocks(xs, ys, zs, c, x.dtype.itemsize)
 
     def one(xi):
         return _upsample2x_call(xi, bx, by, bz, interpret=interpret)
 
-    return jax.vmap(one)(x)
+    # unrolled batch, NOT jax.vmap: vmap gives the ANY-space operand a
+    # Squeezed batch block spec that Mosaic rejects for B >= 2 (see
+    # dwconv.py; hit by training-shape batches)
+    if b == 1:
+        return one(x[0])[None]
+    return jnp.stack([one(x[i]) for i in range(b)])
 
 
 @jax.custom_vjp

@@ -511,16 +511,15 @@ def efficient_flood_fill(
         compact = len(origins) * tile_span > 2**31 - 1
 
     label_fn = jax.jit(partial(label_components, max_rounds=max_rounds))
-    # sparse point-cloud CC first (O(log diameter) rounds on the ~1-3%
-    # foreground — see label_components_sparse); per-tile fallback to the
-    # dense engine when the capacity/edge budget overflows. Identical
-    # labeling convention, so the seam merge below is unaffected.
+    # sparse point-cloud CC (label_components_sparse) is OPT-IN only —
+    # measured 4x SLOWER than the dense engine at the 512^3 bench on v5e
+    # (see device_pipeline.py's run_cc note / BASELINE.md round-4).
+    # Identical labeling convention, so the seam merge is unaffected
+    # either way; per-tile fallback on capacity/edge overflow.
     import os
 
     cc_impl = os.environ.get("SKOOTS_CC_IMPL", cc_impl)
-    use_sparse = cc_impl == "sparse" or (
-        cc_impl == "auto" and jax.default_backend() == "tpu"
-    )
+    use_sparse = cc_impl == "sparse"
     cc_n_max = max(1 << 14, (int(np.prod(crop)) // 32 + 8191) // 8192 * 8192)
 
     seams_per_axis: List[set] = [set(), set(), set()]
