@@ -477,18 +477,20 @@ def run_inference(
             )
         limit = device_bytes_limit()
         if limit is not None:
-            need = estimated_bytes_per_device((x, y, z), spatial_shards)
+            # the pipeline auto-degrades its walk to ring gathers when the
+            # replicated field doesn't fit, so the hard bar is the RING
+            # estimate (everything O(vox/n)). Fail with the remedy instead
+            # of OOMing.
+            need = estimated_bytes_per_device((x, y, z), spatial_shards,
+                                              "ring")
             if need > limit:
-                # the documented ceiling (infer/sharded.py pipeline
-                # docstring): the phase-3 walk keeps whole-volume gather
-                # semantics, so per-device memory cannot shrink below the
-                # full vector field. Fail with the remedy instead of OOMing.
                 raise ValueError(
                     f"--spatial-shards {spatial_shards}: this volume needs "
-                    f"~{need / 1e9:.1f} GB/device in the sharded pipeline "
-                    f"(phase-3 whole-volume walk) but devices have "
+                    f"~{need / 1e9:.1f} GB/device even in the sharded "
+                    f"pipeline's ring-gathered mode but devices have "
                     f"{limit / 1e9:.1f} GB. Use the host-streaming engine "
-                    "(--spatial-shards 0), whose phase 3 is O(tile)."
+                    "(--spatial-shards 0), whose phase 3 is O(tile), or "
+                    "more devices."
                 )
         mesh = make_mesh(data=1, space=spatial_shards,
                          devices=jax.devices()[:spatial_shards])

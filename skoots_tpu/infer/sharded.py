@@ -28,19 +28,25 @@ log = logging.getLogger(__name__)
 
 
 def estimated_bytes_per_device(
-    volume_shape: Tuple[int, int, int], n_space: int
+    volume_shape: Tuple[int, int, int], n_space: int,
+    walk_gather: str = "replicated",
 ) -> int:
     """Conservative per-device HBM estimate for the sharded pipeline.
 
-    The phase-3 embedding walk keeps whole-volume gather semantics (the
-    docstring of :func:`make_sharded_pipeline` documents the ceiling): each
-    walk step indexes arbitrary positions of the vector field, so XLA
-    all-gathers the f32 field (12 B/vox) onto every device. The device's
-    own sharded slabs (vec bf16 + emb/index f32 + labels i32) add roughly
-    another 30 B/vox / n_space.
+    ``walk_gather='replicated'``: each walk step indexes arbitrary positions
+    of the vector field, so XLA all-gathers the f32 field (12 B/vox) onto
+    every device; the device's own sharded slabs (vec bf16 + emb/index f32 +
+    labels i32) add roughly another 30 B/vox / n_space.
+
+    ``walk_gather='ring'``: nothing replicates — per shard the device holds
+    its bf16 vec slab plus one visiting slab (2 x 6 B), the f32 embedding
+    (12 B), i32 walk indices (12 B), two label slabs (8 B) and the output
+    (4 B) ≈ 48 B/vox / n_space; 64 gives headroom for XLA transients.
     """
     x, y, z = volume_shape
     vox = x * y * z
+    if walk_gather == "ring":
+        return (64 * vox) // max(1, n_space)
     return 12 * vox + (30 * vox) // max(1, n_space)
 
 
@@ -74,14 +80,17 @@ def resolve_spatial_shards(
     if n <= 1:
         return 0
     if bytes_limit is not None:
-        need = estimated_bytes_per_device(volume_shape, n)
+        # the pipeline auto-degrades its phase-3 walk from replicated to
+        # ring gathers when the field doesn't fit, so the fallback bar is
+        # the RING estimate (everything O(vox/n)) — only volumes beyond
+        # even that use the host-streaming engine
+        need = estimated_bytes_per_device(volume_shape, n, "ring")
         if need > bytes_limit:
             log.warning(
-                "auto spatial sharding disabled: the sharded pipeline's "
-                "phase-3 walk needs ~%.1f GB/device for this volume "
-                "(whole-volume gather semantics) but devices report "
-                "%.1f GB; using the host-streaming engine (O(tile) "
-                "memory) instead",
+                "auto spatial sharding disabled: even the ring-gathered "
+                "sharded pipeline needs ~%.1f GB/device for this volume "
+                "but devices report %.1f GB; using the host-streaming "
+                "engine (O(tile) memory) instead",
                 need / 1e9, bytes_limit / 1e9,
             )
             return 0
@@ -259,6 +268,7 @@ def make_sharded_pipeline(
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     label_gather: str = "ring",
+    walk_gather: str = "auto",
     semantic_threshold: float | None = None,
 ):
     """Full volume -> instance labels over the mesh's 'space' axis.
@@ -278,10 +288,17 @@ def make_sharded_pipeline(
     role). ``label_gather='replicated'`` keeps the round-1 behavior (full
     labels on every device) for A/B comparison.
 
-    Scaling note: the walk itself still has whole-volume gather semantics
-    (cross-shard steps are XLA-inserted collectives over the vector field);
-    for volumes beyond per-device HBM use the host-streaming engine
-    (``infer.engine``), whose phase 3 is O(tile) by construction.
+    ``walk_gather`` controls the N-step embedding walk's cross-shard
+    sampling: ``'replicated'`` lets XLA all-gather the f32 vector field once
+    (fast, but per-device memory = 12 B/vox regardless of shard count);
+    ``'ring'`` keeps the bf16 field X-sharded and rotates the slabs around
+    the 'space' ring ONCE PER WALK STEP — per-device memory is O(vox/n)
+    through all three phases, at the ICI cost of ``embed_iterations``
+    all-gathers' worth of traffic. ``'auto'`` (default) picks 'replicated'
+    when the replicated estimate fits the device's reported HBM and 'ring'
+    otherwise — so the pipeline no longer has a whole-volume per-device
+    ceiling; only volumes whose O(vox/n) ring working set exceeds HBM need
+    the host-streaming engine (``infer.engine``, phase 3 O(tile)).
 
     Returns ``run(params, volume [X,Y,Z] np/jnp, mean, std) -> np.int32
     labels [X,Y,Z]`` (labels unique but non-sequential; renumber on host if
@@ -290,6 +307,25 @@ def make_sharded_pipeline(
     """
     x, y, z = volume_shape
     n_space = mesh.shape["space"]
+    if walk_gather == "auto":
+        limit = device_bytes_limit()
+        if (n_space > 1 and label_gather != "replicated"
+                and limit is not None
+                and estimated_bytes_per_device(volume_shape, n_space) > limit):
+            log.info(
+                "walk_gather auto -> ring: replicated walk needs ~%.1f "
+                "GB/device, devices report %.1f GB",
+                estimated_bytes_per_device(volume_shape, n_space) / 1e9,
+                limit / 1e9,
+            )
+            walk_gather = "ring"
+        else:
+            walk_gather = "replicated"
+    if walk_gather == "ring" and label_gather == "replicated":
+        raise ValueError(
+            "walk_gather='ring' requires sharded labels "
+            "(label_gather='ring')"
+        )
     # padded dims: divisible by 4 (model downsampling); X also by the shard
     # count so every shard gets an equal slab
     mx = math.lcm(4, n_space)
@@ -406,6 +442,89 @@ def make_sharded_pipeline(
 
         assign = jax.jit(
             _assign,
+            in_shardings=(lab_out, vec5, NamedSharding(mesh, P("space"))),
+            out_shardings=out4,
+        )
+    elif walk_gather == "ring":
+        from jax import shard_map
+
+        xs = px // n_space
+        perm = [((i + 1) % n_space, i) for i in range(n_space)]
+        scale_b = scale.reshape(1, 1, 1, 3)
+
+        def _ring_assign(lab_blk, vec_blk, skel_blk):
+            # this device's X slab of everything: lab [xs,py,pz] i32,
+            # vec [1,xs,py,pz,3] bf16, skel [xs,py,pz] u8. The walk's
+            # cross-shard samples ride the ring — each step rotates the
+            # bf16 vec slabs around 'space' and each device picks up the
+            # deltas whose global x index the visiting slab owns. Nothing
+            # replicates: peak residency is 2 slabs of vec + 2 of labels.
+            n = jax.lax.axis_size("space")
+            me = jax.lax.axis_index("space")
+            vb = vec_blk[0]  # [xs, py, pz, 3]
+            coords = jnp.stack([
+                jax.lax.broadcasted_iota(jnp.float32, vb.shape[:3], 0)
+                + (me * xs).astype(jnp.float32),
+                jax.lax.broadcasted_iota(jnp.float32, vb.shape[:3], 1),
+                jax.lax.broadcasted_iota(jnp.float32, vb.shape[:3], 2),
+            ], axis=-1)
+            embed = coords + vb.astype(jnp.float32) * scale_b
+
+            def _gather_vec(ix, iy, iz):
+                def body(s, carry):
+                    res, blk = carry
+                    owner = (me + s) % n
+                    lo = owner * xs
+                    ok = (ix >= lo) & (ix < lo + xs)
+                    vals = blk[jnp.clip(ix - lo, 0, xs - 1), iy, iz, :]
+                    res = jnp.where(ok[..., None],
+                                    vals.astype(jnp.float32), res)
+                    blk = jax.lax.ppermute(blk, "space", perm)
+                    return res, blk
+
+                res = jnp.zeros(ix.shape + (3,), jnp.float32)
+                res, _ = jax.lax.fori_loop(0, n, body, (res, vb))
+                return res
+
+            def step(_, embed):
+                # same contract as ops.vec2embed._vec2embed: intermediate
+                # indices clip to the PADDED extents, the original field is
+                # re-sampled (not the updated one), decay 1.0
+                idx = jnp.round(embed).astype(jnp.int32)
+                ix = jnp.clip(idx[..., 0], 0, px - 1)
+                iy = jnp.clip(idx[..., 1], 0, py - 1)
+                iz = jnp.clip(idx[..., 2], 0, pz - 1)
+                return embed + _gather_vec(ix, iy, iz) * scale_b
+
+            embed = jax.lax.fori_loop(0, embed_iterations - 1, step, embed)
+            idx = jnp.round(embed).astype(jnp.int32)
+            # final lookup clamps into the REAL region, like _walk_idx
+            ix = jnp.clip(idx[..., 0], 0, x - 1)
+            iy = jnp.clip(idx[..., 1], 0, y - 1)
+            iz = jnp.clip(idx[..., 2], 0, z - 1)
+
+            def lab_body(s, carry):
+                res, blk = carry
+                owner = (me + s) % n
+                lo = owner * xs
+                ok = (ix >= lo) & (ix < lo + xs)
+                vals = blk[jnp.clip(ix - lo, 0, xs - 1), iy, iz]
+                res = jnp.where(ok, vals, res)
+                blk = jax.lax.ppermute(blk, "space", perm)
+                return res, blk
+
+            inst = jnp.zeros(ix.shape, lab_blk.dtype)
+            inst, _ = jax.lax.fori_loop(0, n, lab_body, (inst, lab_blk))
+            fg = (skel_blk >> 1) > 0
+            return jnp.where(fg, inst, 0)[None]
+
+        assign = jax.jit(
+            shard_map(
+                _ring_assign, mesh=mesh,
+                in_specs=(P("space"), P(None, "space"), P("space")),
+                out_specs=P(None, "space"),
+                check_vma=False,
+            ),
             in_shardings=(lab_out, vec5, NamedSharding(mesh, P("space"))),
             out_shardings=out4,
         )
