@@ -168,7 +168,25 @@ def make_threshold_calibrator(model, cfg: CfgNode, dataset, mean, std,
         probs, fracs = [], []
         for _ in range(n_crops):
             s = dataset.sample(rng)
-            pts, ids = s["points"], s["ids"]
+            # measure probabilities on the CENTERED train-crop window — the
+            # same window the target fraction is computed on (the quantile
+            # match below is a volume-fraction match, so the two windows
+            # must coincide), and ~100x fewer voxels than the raw
+            # pre-augmentation sample (round-4 measurement: the full
+            # 332x332x8 pre-crop made this loop 48 s of a 63 s train test)
+            img = s["image"]
+            # the sample pads at the END (reflect), so the real data —
+            # and the annotated object — sits at the low corner; center
+            # the window on the sampled skeleton center, clipped in-bounds
+            off = np.clip(
+                np.round(s["center"] - np.asarray(crop, np.float32) / 2),
+                0, np.asarray(img.shape, np.float32) - np.asarray(crop),
+            ).astype(np.float32)
+            win = tuple(
+                slice(int(o), int(o) + c) for o, c in zip(off, crop)
+            )
+            img = img[win]
+            pts, ids = s["points"] - off[None, :], s["ids"]
             inside = (ids > 0) & np.all(
                 (pts >= 0) & (pts < np.asarray(crop, np.float32)), axis=1
             )
@@ -176,7 +194,7 @@ def make_threshold_calibrator(model, cfg: CfgNode, dataset, mean, std,
             frac = sparse_target_fg_fraction(skels, crop, dist_thr, aniso)
             if frac is None:
                 continue
-            p = prob_fn(params, jnp.asarray(s["image"][None, ..., None]))
+            p = prob_fn(params, jnp.asarray(img[None, ..., None]))
             probs.append(np.asarray(p, np.float32).ravel())
             fracs.append(frac)
         if not fracs:

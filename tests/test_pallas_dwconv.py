@@ -76,10 +76,50 @@ def test_batched_and_bias_free(rng):
 
 
 def test_flax_kernel_layout(rng):
-    """Accepts the flax [k,k,k,1,C] grouped-conv kernel layout unchanged."""
-    x = jnp.asarray(rng.standard_normal((1, 16, 16, 32, 32)), jnp.float32)
-    w5 = jnp.asarray(rng.standard_normal((K, K, K, 1, 32)), jnp.float32)
+    """Accepts the flax [k,k,k,1,C] grouped-conv kernel layout unchanged.
+
+    Kept small (8x8x8, k=3, one block): this is the only non-slow v4
+    interpret-mode run, and interpret cost scales with the k^3 tap unroll
+    — the 16x16x32 k=7 variant took 45 s of the fast suite. The kernel is
+    k-generic; full 7^3 math is pinned by the slow-marked matrix and the
+    fast slab tests above."""
+    k = 3
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 32)), jnp.float32)
+    w5 = jnp.asarray(rng.standard_normal((k, k, k, 1, 32)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
-    ref = np.asarray(xla_dwconv(x, w5[:, :, :, 0, :], b))
-    out = dwconv3d_pallas_v4(x, w5, b, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+    ref = jax.lax.conv_general_dilated(
+        x, w5, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        feature_group_count=32,
+    ) + b
+    out = dwconv3d_pallas_v4(x, w5, b, block=(8, 8), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_dgrad_flip_identity_matches_xla_vjp(rng):
+    """The training backward's Pallas input-gradient (tap-flipped forward
+    kernel, kernels/dwconv.py::dwconv3d_dgrad) must equal XLA's conv
+    gradient exactly. k=3 keeps interpret mode fast; the identity is
+    k-generic for odd k (the only case the backward dispatches it)."""
+    from skoots_tpu.kernels.dwconv import dwconv3d_dgrad
+
+    k, c = 3, 32
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, k, c)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 8, 8, 8, c)), jnp.float32)
+
+    def xla_fwd(x_):
+        out = jax.lax.conv_general_dilated(
+            x_, w.reshape(k, k, k, 1, c), window_strides=(1, 1, 1),
+            padding="SAME", dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+            feature_group_count=c,
+        )
+        return out + b
+
+    _, vjp = jax.vjp(xla_fwd, x)
+    (dx_ref,) = vjp(g)
+    dx = dwconv3d_dgrad(g, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=1e-4, rtol=1e-4)
