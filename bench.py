@@ -252,6 +252,9 @@ def main() -> int:
                             "shape": res["shape"],
                             "phase_s": res.get("phase_s"),
                             "phase_s_first": res.get("phase_s_first"),
+                            "cc_impl": res.get("cc_impl"),
+                            "cc_rounds": res.get("cc_rounds"),
+                            "cc_converged": res.get("cc_converged"),
                             "setup_s": res.get("setup_s"),
                             "model_flops_per_vox": res.get("model_flops_per_vox"),
                             "e2e_tflops": res.get("e2e_tflops"),

@@ -399,446 +399,464 @@ def run_inference(
     Returns the instance mask ``[X, Y, Z]`` int32 (a memmap when
     out-of-core).
     """
-    tracemalloc.start()
+    # benchmark contract (reference eval.py:285-295) needs traced host
+    # memory — but tracing must not outlive this call: tracemalloc adds a
+    # per-allocation traceback snapshot to EVERYTHING in the process, and
+    # leaving it on slowed unrelated trace-heavy code ~3x (measured: the
+    # train-CLI e2e test ran 20 s alone vs 60 s after any inference test)
+    _owns_tracing = not tracemalloc.is_tracing()
+    if _owns_tracing:
+        tracemalloc.start()
     t_start = time.time()
+    try:
 
-    stem = os.path.splitext(image_path)[0]
-    ckpt = load_checkpoint(checkpoint_path)
-    cfg: CfgNode = ckpt["cfg"]
+        stem = os.path.splitext(image_path)[0]
+        ckpt = load_checkpoint(checkpoint_path)
+        cfg: CfgNode = ckpt["cfg"]
 
-    ckpt_extra = ckpt.get("extra") or {}
-    calibrated_thr = ckpt_extra.get("calibrated_prob_threshold")
-    sparse_ckpt = bool(cfg.EXPERIMENTAL.IS_SPARSE) or calibrated_thr is not None
+        ckpt_extra = ckpt.get("extra") or {}
+        calibrated_thr = ckpt_extra.get("calibrated_prob_threshold")
+        sparse_ckpt = bool(cfg.EXPERIMENTAL.IS_SPARSE) or calibrated_thr is not None
 
-    volume = imread(image_path)  # [X, Y, Z]
-    x, y, z = volume.shape
-    log.info("loaded %s: shape=%s dtype=%s", image_path, volume.shape, volume.dtype)
+        volume = imread(image_path)  # [X, Y, Z]
+        x, y, z = volume.shape
+        log.info("loaded %s: shape=%s dtype=%s", image_path, volume.shape, volume.dtype)
 
-    model = cfg_to_model(cfg)
-    # bind loaded weights onto a template pytree; eval_shape gives the
-    # structure without tracing a compile or touching the device (param
-    # shapes are spatial-size independent, so a fixed 16^3 probe works for
-    # every volume)
-    import jax.random as jrandom
+        model = cfg_to_model(cfg)
+        # bind loaded weights onto a template pytree; eval_shape gives the
+        # structure without tracing a compile or touching the device (param
+        # shapes are spatial-size independent, so a fixed 16^3 probe works for
+        # every volume)
+        import jax.random as jrandom
 
-    template = jax.eval_shape(
-        lambda: model.init(
-            {"params": jrandom.PRNGKey(0)},
-            jnp.zeros((1, 16, 16, 16, 1), jnp.float32),
-            deterministic=True,
-        )
-    )
-    params = restore_params(template, ckpt["params"])
-
-    def _stream_stats():
-        # chunked fallback stats (a python-level .mean() default argument
-        # would evaluate eagerly and materialize float64 copies of memmaps)
-        n, tot, tot_sq = 0, 0.0, 0.0
-        for i in range(0, volume.shape[0], 16):
-            blk = np.asarray(volume[i : i + 16], np.float64)
-            n += blk.size
-            tot += float(blk.sum())
-            tot_sq += float((blk * blk).sum())
-        m = tot / n
-        return m, max(tot_sq / n - m * m, 1e-8) ** 0.5
-
-    if "dataset_mean" in ckpt and ckpt["dataset_mean"] is not None:
-        mean, std = float(ckpt["dataset_mean"]), float(ckpt["dataset_std"])
-    else:
-        mean, std = _stream_stats()
-    vec_scale = tuple(cfg.SKOOTS.VECTOR_SCALING)
-
-    if spatial_shards is None:
-        # auto (the CLI default): shard over every device when >1 is
-        # present and the volume fits the sharded pipeline's per-device
-        # ceiling; otherwise use the host-streaming engine
-        from skoots_tpu.infer.sharded import (
-            device_bytes_limit,
-            resolve_spatial_shards,
-        )
-
-        spatial_shards = resolve_spatial_shards(
-            None, len(jax.devices()), (x, y, z), device_bytes_limit()
-        )
-
-    if spatial_shards and spatial_shards > 1:
-        from skoots_tpu.infer.sharded import (
-            device_bytes_limit,
-            estimated_bytes_per_device,
-            make_sharded_pipeline,
-        )
-        from skoots_tpu.parallel import make_mesh
-
-        n_dev = len(jax.devices())
-        if n_dev < spatial_shards:
-            raise ValueError(
-                f"--spatial-shards {spatial_shards} needs that many devices, "
-                f"have {n_dev}"
+        template = jax.eval_shape(
+            lambda: model.init(
+                {"params": jrandom.PRNGKey(0)},
+                jnp.zeros((1, 16, 16, 16, 1), jnp.float32),
+                deterministic=True,
             )
-        limit = device_bytes_limit()
-        if limit is not None:
-            # the pipeline auto-degrades its walk to ring gathers when the
-            # replicated field doesn't fit, so the hard bar is the RING
-            # estimate (everything O(vox/n)). Fail with the remedy instead
-            # of OOMing.
-            need = estimated_bytes_per_device((x, y, z), spatial_shards,
-                                              "ring")
-            if need > limit:
-                raise ValueError(
-                    f"--spatial-shards {spatial_shards}: this volume needs "
-                    f"~{need / 1e9:.1f} GB/device even in the sharded "
-                    f"pipeline's ring-gathered mode but devices have "
-                    f"{limit / 1e9:.1f} GB. Use the host-streaming engine "
-                    "(--spatial-shards 0), whose phase 3 is O(tile), or "
-                    "more devices."
-                )
-        mesh = make_mesh(data=1, space=spatial_shards,
-                         devices=jax.devices()[:spatial_shards])
-        if semantic_threshold is None and calibrated_thr is not None:
-            semantic_threshold = float(calibrated_thr)
-            log.info("semantic gate: checkpoint-calibrated threshold %.6f",
-                     semantic_threshold)
-        run = make_sharded_pipeline(
-            model, mesh, (x, y, z), vector_scale=vec_scale,
-            prob_threshold=prob_threshold, embed_iterations=embed_iterations,
-            semantic_threshold=semantic_threshold,
         )
-        bench_start = time.time()
-        instance_mask = run(params, volume.astype(np.float32), mean, std)
+        params = restore_params(template, ckpt["params"])
+
+        def _stream_stats():
+            # chunked fallback stats (a python-level .mean() default argument
+            # would evaluate eagerly and materialize float64 copies of memmaps)
+            n, tot, tot_sq = 0, 0.0, 0.0
+            for i in range(0, volume.shape[0], 16):
+                blk = np.asarray(volume[i : i + 16], np.float64)
+                n += blk.size
+                tot += float(blk.sum())
+                tot_sq += float((blk * blk).sum())
+            m = tot / n
+            return m, max(tot_sq / n - m * m, 1e-8) ** 0.5
+
+        if "dataset_mean" in ckpt and ckpt["dataset_mean"] is not None:
+            mean, std = float(ckpt["dataset_mean"]), float(ckpt["dataset_std"])
+        else:
+            mean, std = _stream_stats()
+        vec_scale = tuple(cfg.SKOOTS.VECTOR_SCALING)
+
+        if spatial_shards is None:
+            # auto (the CLI default): shard over every device when >1 is
+            # present and the volume fits the sharded pipeline's per-device
+            # ceiling; otherwise use the host-streaming engine
+            from skoots_tpu.infer.sharded import (
+                device_bytes_limit,
+                resolve_spatial_shards,
+            )
+
+            spatial_shards = resolve_spatial_shards(
+                None, len(jax.devices()), (x, y, z), device_bytes_limit()
+            )
+
+        if spatial_shards and spatial_shards > 1:
+            from skoots_tpu.infer.sharded import (
+                device_bytes_limit,
+                estimated_bytes_per_device,
+                make_sharded_pipeline,
+            )
+            from skoots_tpu.parallel import make_mesh
+
+            n_dev = len(jax.devices())
+            if n_dev < spatial_shards:
+                raise ValueError(
+                    f"--spatial-shards {spatial_shards} needs that many devices, "
+                    f"have {n_dev}"
+                )
+            limit = device_bytes_limit()
+            if limit is not None:
+                # the pipeline auto-degrades its walk to ring gathers when the
+                # replicated field doesn't fit, so the hard bar is the RING
+                # estimate (everything O(vox/n)). Fail with the remedy instead
+                # of OOMing.
+                need = estimated_bytes_per_device((x, y, z), spatial_shards,
+                                                  "ring")
+                if need > limit:
+                    raise ValueError(
+                        f"--spatial-shards {spatial_shards}: this volume needs "
+                        f"~{need / 1e9:.1f} GB/device even in the sharded "
+                        f"pipeline's ring-gathered mode but devices have "
+                        f"{limit / 1e9:.1f} GB. Use the host-streaming engine "
+                        "(--spatial-shards 0), whose phase 3 is O(tile), or "
+                        "more devices."
+                    )
+            mesh = make_mesh(data=1, space=spatial_shards,
+                             devices=jax.devices()[:spatial_shards])
+            if semantic_threshold is None and calibrated_thr is not None:
+                semantic_threshold = float(calibrated_thr)
+                log.info("semantic gate: checkpoint-calibrated threshold %.6f",
+                         semantic_threshold)
+            run = make_sharded_pipeline(
+                model, mesh, (x, y, z), vector_scale=vec_scale,
+                prob_threshold=prob_threshold, embed_iterations=embed_iterations,
+                semantic_threshold=semantic_threshold,
+            )
+            bench_start = time.time()
+            instance_mask = run(params, volume.astype(np.float32), mean, std)
+            dt = time.time() - bench_start
+            cur, peak = tracemalloc.get_traced_memory()
+            if _owns_tracing:
+                tracemalloc.stop()
+            with open(stem + "_skoots_benchmark.txt", "w") as f:
+                f.write("SKOOTS Segmentation Benchmark:\n")
+                f.write("------------------------------\n")
+                f.write(f"Time: {dt} seconds\n")
+                f.write(f"Memory (current/max): {(cur, peak)}\n\n")
+            instance_mask, _ = renumber(instance_mask)
+            out_path = output_path or (stem + "_instance_mask.tif")
+            imsave(out_path, instance_mask.astype(np.int32))
+            log.info(
+                "sharded (%d-way) segmentation took %.2fs -> %s",
+                spatial_shards, dt, out_path,
+            )
+            return instance_mask
+
+        # canonical tile shapes: small volumes round UP to the bucket ladder
+        # (reflect-padded) instead of minting per-volume shapes, so the
+        # persistent compile cache hits across differently-sized volumes
+        crop = bucketed_crop_size(
+            tuple(max(4, c // 4 * 4) for c in crop_size), (x, y, z)
+        )
+        # keep stride >= crop/2: tiny volumes clamp the crop, and carrying the
+        # full-size overlap over would explode the tile count
+        ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
+
+        vec_path = stem + "_skoots_vectors.npy"
+        skel_path = stem + "_skoots_skeleton.npy"
+        sem_path = stem + "_skoots_semantic.npy"
+        # phase-1 knobs travel WITH the cached buffers: the skeleton buffer has
+        # threshold/dilation baked in, so a reload must compare against what the
+        # producing run actually used, not against the CLI defaults (ADVICE r3)
+        knobs_path = stem + "_skoots_phase1.json"
+
+        if out_of_core is None:
+            out_of_core = x * y * z > 256**3
+
+        cache_hit = use_cached_data and all(
+            os.path.exists(p) for p in (vec_path, skel_path, sem_path)
+        )
+
+        if semantic_threshold is None:
+            if sparse_ckpt and not cache_hit:
+                # sparse checkpoint: self-calibrate the gate on THIS volume
+                # (train-time calibration measures the training distribution
+                # and under-shoots when the boundary generalizes a fat ring)
+                semantic_threshold = _probe_semantic_threshold(
+                    model, params, mean, std, volume[..., None], crop, ov,
+                )
+                if semantic_threshold is not None:
+                    log.info(
+                        "semantic gate: volume-calibrated threshold %.6f "
+                        "(probability-histogram valley on probe tiles; "
+                        "vector/skeleton masking stays at %.2f)",
+                        semantic_threshold, prob_threshold,
+                    )
+            if semantic_threshold is None and calibrated_thr is not None:
+                semantic_threshold = float(calibrated_thr)
+                log.info("semantic gate: checkpoint-calibrated threshold %.6f",
+                         semantic_threshold)
+            if semantic_threshold is None:
+                semantic_threshold = prob_threshold
+
+        if dilation_3d is None or dilation_2d is None:
+            # auto mode (the default): derive the stack from the data instead
+            # of hard-coding the reference's fixed 1x3D+2x2D (eval.py:152-157),
+            # which silently merges instances once predicted-skeleton spacing
+            # shrinks to ~4 voxels (round-3 campaign evidence, BASELINE.md)
+            from skoots_tpu.infer.autoknobs import (
+                REFERENCE_STACK,
+                derive_dilation,
+            )
+
+            if cache_hit:
+                # the cached skeleton has its producing run's stack baked in —
+                # adopt it (sidecar) rather than probing a buffer we won't use
+                rec = {}
+                if os.path.exists(knobs_path):
+                    try:
+                        with open(knobs_path) as f:
+                            rec = json.load(f)
+                    except (ValueError, OSError):
+                        rec = {}
+                d3, d2 = (int(rec.get("dilation_3d", REFERENCE_STACK[0])),
+                          int(rec.get("dilation_2d", REFERENCE_STACK[1])))
+            else:
+                gap = _probe_dilation(
+                    model, params, mean, std, prob_threshold, volume[..., None],
+                    crop, ov, tuple(cfg.SKOOTS.ANISOTROPY),
+                )
+                d3, d2 = derive_dilation(gap, tuple(cfg.SKOOTS.ANISOTROPY))
+                log.info(
+                    "auto dilation: measured skeleton spacing %s voxels -> "
+                    "stack 3d=%d 2d=%d (reference fixed stack: 1/2; override "
+                    "with --dilate-3d/--dilate-2d)",
+                    "n/a" if gap is None else f"{gap:.1f}", d3, d2,
+                )
+            # an explicitly-passed knob always wins over the derived one
+            dilation_3d = d3 if dilation_3d is None else dilation_3d
+            dilation_2d = d2 if dilation_2d is None else dilation_2d
+
+        phase1_knobs = {
+            "prob_threshold": prob_threshold,
+            "semantic_threshold": semantic_threshold,
+            "dilation_3d": dilation_3d,
+            "dilation_2d": dilation_2d,
+        }
+
+        if cache_hit:
+            import json as _json
+
+            recorded = None
+            if os.path.exists(knobs_path):
+                try:
+                    with open(knobs_path) as f:
+                        recorded = _json.load(f)
+                except (ValueError, OSError):
+                    recorded = None
+            if recorded is not None:
+                # sidecars predating the split semantic gate used one threshold
+                recorded.setdefault(
+                    "semantic_threshold", recorded.get("prob_threshold")
+                )
+                diffs = {
+                    k: (recorded.get(k), v)
+                    for k, v in phase1_knobs.items()
+                    if recorded.get(k) != v
+                }
+                if diffs:
+                    log.warning(
+                        "use_cached_data: cached phase-1 buffers were produced "
+                        "with different knobs than requested — the recorded "
+                        "values stay baked in: %s",
+                        {k: f"cached={a} requested={b}" for k, (a, b) in diffs.items()},
+                    )
+            elif (dilation_3d, dilation_2d) != (1, 2) or prob_threshold != 0.8:
+                log.warning(
+                    "use_cached_data: no phase-1 sidecar (%s) — the cached "
+                    "skeleton buffer has its original run's threshold/dilation "
+                    "baked in; --dilate-3d/--dilate-2d/prob_threshold are ignored",
+                    os.path.basename(knobs_path),
+                )
+            vectors = np.load(vec_path, mmap_mode="r")
+            skeleton_u8 = np.load(skel_path, mmap_mode="r")
+            semantic_u8 = np.load(sem_path, mmap_mode="r")
+            bench_start = time.time()
+        else:
+            if out_of_core:
+                from skoots_tpu.utils.io import open_outofcore
+
+                vectors = open_outofcore(vec_path, (x, y, z, 3), "float16")
+                skeleton_u8 = open_outofcore(skel_path, (x, y, z), "uint8")
+                semantic_u8 = open_outofcore(sem_path, (x, y, z), "uint8")
+            else:
+                vectors = np.zeros((x, y, z, 3), np.float16)
+                skeleton_u8 = np.zeros((x, y, z), np.uint8)
+                semantic_u8 = np.zeros((x, y, z), np.uint8)
+            tile_fn = _make_tile_fn(
+                model, params, mean, std, prob_threshold, dilation_3d,
+                dilation_2d, sem_thr=semantic_threshold
+            )
+            bench_start = time.time()
+            # the phase-1 sweep reads the (possibly memmapped) raw volume tile by
+            # tile; per-tile f32 conversion happens in gather, not whole-volume
+            _sweep(
+                volume[..., None],
+                [vectors, skeleton_u8[..., None], semantic_u8[..., None]],
+                lambda t: tile_fn(jnp.asarray(t, jnp.float32)),
+                crop,
+                ov,
+                batch,
+                "phase1-unet",
+            )
+            if out_of_core:
+                vectors.flush()
+                skeleton_u8.flush()
+                semantic_u8.flush()
+            else:
+                np.save(vec_path, vectors)
+                np.save(skel_path, skeleton_u8)
+                np.save(sem_path, semantic_u8)
+            import json as _json
+
+            with open(knobs_path, "w") as f:
+                _json.dump(phase1_knobs, f)
+
+        # ---------------------------------------------------------------- phase 2
+        log.info("phase 2: flood fill")
+        if out_of_core:
+            from skoots_tpu.utils.io import open_outofcore
+
+            labels_out = open_outofcore(stem + "_skoots_labels.npy", (x, y, z),
+                                        "int32")
+        else:
+            labels_out = None
+        # smaller CC tiles in out-of-core mode keep host transients bounded;
+        # bucket DOWN for small volumes (CC slices tiles directly)
+        cc_crop = bucketed_crop_size_down(
+            (256, 256, 64) if out_of_core else (512, 512, 128), (x, y, z)
+        )
+        labeled = efficient_flood_fill(skeleton_u8, crop_size=cc_crop,
+                                       out=labels_out)
+
+        # ---------------------------------------------------------------- phase 3
+        log.info("phase 3: instance assignment")
+        if out_of_core:
+            from skoots_tpu.utils.io import open_outofcore
+
+            instance_mask = open_outofcore(
+                stem + "_skoots_instance.npy", (x, y, z), "int32"
+            )
+        else:
+            instance_mask = np.zeros((x, y, z), np.int32)
+        a_crop = bucketed_crop_size(
+            tuple(max(4, c // 4 * 4) for c in assign_crop_size), (x, y, z)
+        )
+        a_ov = tuple(min(o, c // 4) for o, c in zip(assign_overlap, a_crop))
+
+        # Tile-local label residency: the walk's displacement is bounded, so each
+        # assign step needs only the label bbox its embeddings actually reach —
+        # device memory per step is O(tile), never O(volume). (The reference
+        # indexes a host-RAM-resident labeled tensor per crop, eval.py:245-268;
+        # here phase 3a computes the reached bbox on device, the host slices that
+        # bbox from the labels array/memmap, and phase 3b gathers from it.)
+        embed_fn = _make_embed_fn(vec_scale, (x, y, z), embed_iterations,
+                                  embed_decay, embed_exit_fraction)
+
+        # Label-crop budget: when a batch's reached bbox would copy more label
+        # bytes than this to host+device, fall back to streaming fixed-shape
+        # x-slabs of the label volume through _gather_ids_slab instead. Trained
+        # models walk locally (bbox ~ tile + walk margin) and never trip this;
+        # pathological fields (untrained weights, wrong vector scale) would
+        # otherwise cost O(volume) host RSS and H2D bytes PER TILE BATCH
+        # (measured: 84 GB anon RSS on a 1024^3 random-init proof run).
+        if label_crop_budget_bytes is None:
+            label_crop_budget_bytes = int(
+                os.environ.get("SKOOTS_LABEL_CROP_BYTES", 512 * 1024 * 1024)
+            )
+        slab_depth = max(16, min(x, label_crop_budget_bytes // max(y * z * 4, 1))
+                         // 16 * 16)
+        streamed_batches = 0
+
+        pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
+        padded_shape = tuple(d + p[0] + p[1] for d, p in zip((x, y, z), pads))
+        origins = crop_origins(padded_shape, a_crop, a_ov)
+        for bi in range(0, len(origins), batch):
+            batch_origins = origins[bi : bi + batch]
+            real = len(batch_origins)
+            while len(batch_origins) < batch:
+                batch_origins = batch_origins + [batch_origins[-1]]
+            tiles = np.stack(
+                [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
+            )  # stays float16: half the H2D bytes; 3a casts on device
+            if semantic_gate:
+                fg = np.stack(
+                    [_read_tile(semantic_u8, o, a_crop, pads)
+                     for o in batch_origins]
+                )
+            else:
+                # strict reference semantics (eval.py:277): no gate — any voxel
+                # whose walked embedding lands on a labeled skeleton gets that
+                # label, including the dilated-skeleton background halo
+                fg = np.ones((len(batch_origins), *a_crop), np.uint8)
+            # offsets map padded-tile coords back into unpadded volume coords
+            offs = np.asarray(
+                [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],
+                np.float32,
+            )
+            idx, mins, maxs = embed_fn(jnp.asarray(tiles), jnp.asarray(offs))
+            lab_origin, lab_shape = _bucket_bbox(
+                np.asarray(mins), np.asarray(maxs), (x, y, z)
+            )
+            if lab_shape[0] * lab_shape[1] * lab_shape[2] * 4 <= label_crop_budget_bytes:
+                lab_sl = tuple(
+                    slice(o, o + s) for o, s in zip(lab_origin, lab_shape)
+                )
+                labels_crop = np.ascontiguousarray(labeled[lab_sl])
+                ids = np.asarray(_gather_ids(
+                    jnp.asarray(labels_crop), idx,
+                    jnp.asarray(lab_origin, jnp.int32), jnp.asarray(fg),
+                ))
+            else:
+                if streamed_batches == 0:
+                    log.warning(
+                        "phase 3: walk bbox %s exceeds the label-crop budget "
+                        "(%.0f MB, SKOOTS_LABEL_CROP_BYTES) — streaming %d-deep "
+                        "label slabs instead (bounded memory, more dispatches). "
+                        "This usually means the model's embedding walks are not "
+                        "converging locally (untrained weights or wrong "
+                        "SKOOTS.VECTOR_SCALING).",
+                        lab_shape, label_crop_budget_bytes / 1e6, slab_depth,
+                    )
+                streamed_batches += 1
+                fg_dev = jnp.asarray(fg)
+                acc = jnp.zeros(idx.shape[:-1], jnp.int32)
+                x_lo, x_hi = int(mins[0]), int(maxs[0]) + 1
+                for xs in range((x_lo // slab_depth) * slab_depth, x_hi,
+                                slab_depth):
+                    slab = np.ascontiguousarray(labeled[xs : xs + slab_depth])
+                    if slab.shape[0] < slab_depth:  # fixed shape -> one program
+                        slab = np.pad(
+                            slab, ((0, slab_depth - slab.shape[0]), (0, 0), (0, 0))
+                        )
+                    acc = _gather_ids_slab(
+                        jnp.asarray(slab), idx, jnp.int32(xs), fg_dev, acc
+                    )
+                ids = np.asarray(acc)
+            for i, o in enumerate(batch_origins[:real]):
+                _write_interior(
+                    instance_mask, ids[i], o, a_crop, a_ov, pads, (x, y, z)
+                )
+
+        # benchmark report (reference contract eval.py:285-295)
         dt = time.time() - bench_start
         cur, peak = tracemalloc.get_traced_memory()
+        if _owns_tracing:
+            tracemalloc.stop()
         with open(stem + "_skoots_benchmark.txt", "w") as f:
             f.write("SKOOTS Segmentation Benchmark:\n")
             f.write("------------------------------\n")
             f.write(f"Time: {dt} seconds\n")
             f.write(f"Memory (current/max): {(cur, peak)}\n\n")
-        instance_mask, _ = renumber(instance_mask)
+        log.info("segmentation took %.2fs (peak host mem %.1f MB)", dt, peak / 1e6)
+
+        if out_of_core:
+            from skoots_tpu.ops.flood_fill import renumber_inplace
+
+            renumber_inplace(instance_mask)
+            instance_mask.flush()
+        else:
+            instance_mask, _ = renumber(instance_mask)
+            instance_mask = instance_mask.astype(np.int32)
         out_path = output_path or (stem + "_instance_mask.tif")
-        imsave(out_path, instance_mask.astype(np.int32))
-        log.info(
-            "sharded (%d-way) segmentation took %.2fs -> %s",
-            spatial_shards, dt, out_path,
-        )
+        imsave(out_path, instance_mask)
+        log.info("wrote %s (total %.2fs)", out_path, time.time() - t_start)
         return instance_mask
-
-    # canonical tile shapes: small volumes round UP to the bucket ladder
-    # (reflect-padded) instead of minting per-volume shapes, so the
-    # persistent compile cache hits across differently-sized volumes
-    crop = bucketed_crop_size(
-        tuple(max(4, c // 4 * 4) for c in crop_size), (x, y, z)
-    )
-    # keep stride >= crop/2: tiny volumes clamp the crop, and carrying the
-    # full-size overlap over would explode the tile count
-    ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
-
-    vec_path = stem + "_skoots_vectors.npy"
-    skel_path = stem + "_skoots_skeleton.npy"
-    sem_path = stem + "_skoots_semantic.npy"
-    # phase-1 knobs travel WITH the cached buffers: the skeleton buffer has
-    # threshold/dilation baked in, so a reload must compare against what the
-    # producing run actually used, not against the CLI defaults (ADVICE r3)
-    knobs_path = stem + "_skoots_phase1.json"
-
-    if out_of_core is None:
-        out_of_core = x * y * z > 256**3
-
-    cache_hit = use_cached_data and all(
-        os.path.exists(p) for p in (vec_path, skel_path, sem_path)
-    )
-
-    if semantic_threshold is None:
-        if sparse_ckpt and not cache_hit:
-            # sparse checkpoint: self-calibrate the gate on THIS volume
-            # (train-time calibration measures the training distribution
-            # and under-shoots when the boundary generalizes a fat ring)
-            semantic_threshold = _probe_semantic_threshold(
-                model, params, mean, std, volume[..., None], crop, ov,
-            )
-            if semantic_threshold is not None:
-                log.info(
-                    "semantic gate: volume-calibrated threshold %.6f "
-                    "(probability-histogram valley on probe tiles; "
-                    "vector/skeleton masking stays at %.2f)",
-                    semantic_threshold, prob_threshold,
-                )
-        if semantic_threshold is None and calibrated_thr is not None:
-            semantic_threshold = float(calibrated_thr)
-            log.info("semantic gate: checkpoint-calibrated threshold %.6f",
-                     semantic_threshold)
-        if semantic_threshold is None:
-            semantic_threshold = prob_threshold
-
-    if dilation_3d is None or dilation_2d is None:
-        # auto mode (the default): derive the stack from the data instead
-        # of hard-coding the reference's fixed 1x3D+2x2D (eval.py:152-157),
-        # which silently merges instances once predicted-skeleton spacing
-        # shrinks to ~4 voxels (round-3 campaign evidence, BASELINE.md)
-        from skoots_tpu.infer.autoknobs import (
-            REFERENCE_STACK,
-            derive_dilation,
-        )
-
-        if cache_hit:
-            # the cached skeleton has its producing run's stack baked in —
-            # adopt it (sidecar) rather than probing a buffer we won't use
-            rec = {}
-            if os.path.exists(knobs_path):
-                try:
-                    with open(knobs_path) as f:
-                        rec = json.load(f)
-                except (ValueError, OSError):
-                    rec = {}
-            d3, d2 = (int(rec.get("dilation_3d", REFERENCE_STACK[0])),
-                      int(rec.get("dilation_2d", REFERENCE_STACK[1])))
-        else:
-            gap = _probe_dilation(
-                model, params, mean, std, prob_threshold, volume[..., None],
-                crop, ov, tuple(cfg.SKOOTS.ANISOTROPY),
-            )
-            d3, d2 = derive_dilation(gap, tuple(cfg.SKOOTS.ANISOTROPY))
-            log.info(
-                "auto dilation: measured skeleton spacing %s voxels -> "
-                "stack 3d=%d 2d=%d (reference fixed stack: 1/2; override "
-                "with --dilate-3d/--dilate-2d)",
-                "n/a" if gap is None else f"{gap:.1f}", d3, d2,
-            )
-        # an explicitly-passed knob always wins over the derived one
-        dilation_3d = d3 if dilation_3d is None else dilation_3d
-        dilation_2d = d2 if dilation_2d is None else dilation_2d
-
-    phase1_knobs = {
-        "prob_threshold": prob_threshold,
-        "semantic_threshold": semantic_threshold,
-        "dilation_3d": dilation_3d,
-        "dilation_2d": dilation_2d,
-    }
-
-    if cache_hit:
-        import json as _json
-
-        recorded = None
-        if os.path.exists(knobs_path):
-            try:
-                with open(knobs_path) as f:
-                    recorded = _json.load(f)
-            except (ValueError, OSError):
-                recorded = None
-        if recorded is not None:
-            # sidecars predating the split semantic gate used one threshold
-            recorded.setdefault(
-                "semantic_threshold", recorded.get("prob_threshold")
-            )
-            diffs = {
-                k: (recorded.get(k), v)
-                for k, v in phase1_knobs.items()
-                if recorded.get(k) != v
-            }
-            if diffs:
-                log.warning(
-                    "use_cached_data: cached phase-1 buffers were produced "
-                    "with different knobs than requested — the recorded "
-                    "values stay baked in: %s",
-                    {k: f"cached={a} requested={b}" for k, (a, b) in diffs.items()},
-                )
-        elif (dilation_3d, dilation_2d) != (1, 2) or prob_threshold != 0.8:
-            log.warning(
-                "use_cached_data: no phase-1 sidecar (%s) — the cached "
-                "skeleton buffer has its original run's threshold/dilation "
-                "baked in; --dilate-3d/--dilate-2d/prob_threshold are ignored",
-                os.path.basename(knobs_path),
-            )
-        vectors = np.load(vec_path, mmap_mode="r")
-        skeleton_u8 = np.load(skel_path, mmap_mode="r")
-        semantic_u8 = np.load(sem_path, mmap_mode="r")
-        bench_start = time.time()
-    else:
-        if out_of_core:
-            from skoots_tpu.utils.io import open_outofcore
-
-            vectors = open_outofcore(vec_path, (x, y, z, 3), "float16")
-            skeleton_u8 = open_outofcore(skel_path, (x, y, z), "uint8")
-            semantic_u8 = open_outofcore(sem_path, (x, y, z), "uint8")
-        else:
-            vectors = np.zeros((x, y, z, 3), np.float16)
-            skeleton_u8 = np.zeros((x, y, z), np.uint8)
-            semantic_u8 = np.zeros((x, y, z), np.uint8)
-        tile_fn = _make_tile_fn(
-            model, params, mean, std, prob_threshold, dilation_3d,
-            dilation_2d, sem_thr=semantic_threshold
-        )
-        bench_start = time.time()
-        # the phase-1 sweep reads the (possibly memmapped) raw volume tile by
-        # tile; per-tile f32 conversion happens in gather, not whole-volume
-        _sweep(
-            volume[..., None],
-            [vectors, skeleton_u8[..., None], semantic_u8[..., None]],
-            lambda t: tile_fn(jnp.asarray(t, jnp.float32)),
-            crop,
-            ov,
-            batch,
-            "phase1-unet",
-        )
-        if out_of_core:
-            vectors.flush()
-            skeleton_u8.flush()
-            semantic_u8.flush()
-        else:
-            np.save(vec_path, vectors)
-            np.save(skel_path, skeleton_u8)
-            np.save(sem_path, semantic_u8)
-        import json as _json
-
-        with open(knobs_path, "w") as f:
-            _json.dump(phase1_knobs, f)
-
-    # ---------------------------------------------------------------- phase 2
-    log.info("phase 2: flood fill")
-    if out_of_core:
-        from skoots_tpu.utils.io import open_outofcore
-
-        labels_out = open_outofcore(stem + "_skoots_labels.npy", (x, y, z),
-                                    "int32")
-    else:
-        labels_out = None
-    # smaller CC tiles in out-of-core mode keep host transients bounded;
-    # bucket DOWN for small volumes (CC slices tiles directly)
-    cc_crop = bucketed_crop_size_down(
-        (256, 256, 64) if out_of_core else (512, 512, 128), (x, y, z)
-    )
-    labeled = efficient_flood_fill(skeleton_u8, crop_size=cc_crop,
-                                   out=labels_out)
-
-    # ---------------------------------------------------------------- phase 3
-    log.info("phase 3: instance assignment")
-    if out_of_core:
-        from skoots_tpu.utils.io import open_outofcore
-
-        instance_mask = open_outofcore(
-            stem + "_skoots_instance.npy", (x, y, z), "int32"
-        )
-    else:
-        instance_mask = np.zeros((x, y, z), np.int32)
-    a_crop = bucketed_crop_size(
-        tuple(max(4, c // 4 * 4) for c in assign_crop_size), (x, y, z)
-    )
-    a_ov = tuple(min(o, c // 4) for o, c in zip(assign_overlap, a_crop))
-
-    # Tile-local label residency: the walk's displacement is bounded, so each
-    # assign step needs only the label bbox its embeddings actually reach —
-    # device memory per step is O(tile), never O(volume). (The reference
-    # indexes a host-RAM-resident labeled tensor per crop, eval.py:245-268;
-    # here phase 3a computes the reached bbox on device, the host slices that
-    # bbox from the labels array/memmap, and phase 3b gathers from it.)
-    embed_fn = _make_embed_fn(vec_scale, (x, y, z), embed_iterations,
-                              embed_decay, embed_exit_fraction)
-
-    # Label-crop budget: when a batch's reached bbox would copy more label
-    # bytes than this to host+device, fall back to streaming fixed-shape
-    # x-slabs of the label volume through _gather_ids_slab instead. Trained
-    # models walk locally (bbox ~ tile + walk margin) and never trip this;
-    # pathological fields (untrained weights, wrong vector scale) would
-    # otherwise cost O(volume) host RSS and H2D bytes PER TILE BATCH
-    # (measured: 84 GB anon RSS on a 1024^3 random-init proof run).
-    if label_crop_budget_bytes is None:
-        label_crop_budget_bytes = int(
-            os.environ.get("SKOOTS_LABEL_CROP_BYTES", 512 * 1024 * 1024)
-        )
-    slab_depth = max(16, min(x, label_crop_budget_bytes // max(y * z * 4, 1))
-                     // 16 * 16)
-    streamed_batches = 0
-
-    pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
-    padded_shape = tuple(d + p[0] + p[1] for d, p in zip((x, y, z), pads))
-    origins = crop_origins(padded_shape, a_crop, a_ov)
-    for bi in range(0, len(origins), batch):
-        batch_origins = origins[bi : bi + batch]
-        real = len(batch_origins)
-        while len(batch_origins) < batch:
-            batch_origins = batch_origins + [batch_origins[-1]]
-        tiles = np.stack(
-            [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
-        )  # stays float16: half the H2D bytes; 3a casts on device
-        if semantic_gate:
-            fg = np.stack(
-                [_read_tile(semantic_u8, o, a_crop, pads)
-                 for o in batch_origins]
-            )
-        else:
-            # strict reference semantics (eval.py:277): no gate — any voxel
-            # whose walked embedding lands on a labeled skeleton gets that
-            # label, including the dilated-skeleton background halo
-            fg = np.ones((len(batch_origins), *a_crop), np.uint8)
-        # offsets map padded-tile coords back into unpadded volume coords
-        offs = np.asarray(
-            [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],
-            np.float32,
-        )
-        idx, mins, maxs = embed_fn(jnp.asarray(tiles), jnp.asarray(offs))
-        lab_origin, lab_shape = _bucket_bbox(
-            np.asarray(mins), np.asarray(maxs), (x, y, z)
-        )
-        if lab_shape[0] * lab_shape[1] * lab_shape[2] * 4 <= label_crop_budget_bytes:
-            lab_sl = tuple(
-                slice(o, o + s) for o, s in zip(lab_origin, lab_shape)
-            )
-            labels_crop = np.ascontiguousarray(labeled[lab_sl])
-            ids = np.asarray(_gather_ids(
-                jnp.asarray(labels_crop), idx,
-                jnp.asarray(lab_origin, jnp.int32), jnp.asarray(fg),
-            ))
-        else:
-            if streamed_batches == 0:
-                log.warning(
-                    "phase 3: walk bbox %s exceeds the label-crop budget "
-                    "(%.0f MB, SKOOTS_LABEL_CROP_BYTES) — streaming %d-deep "
-                    "label slabs instead (bounded memory, more dispatches). "
-                    "This usually means the model's embedding walks are not "
-                    "converging locally (untrained weights or wrong "
-                    "SKOOTS.VECTOR_SCALING).",
-                    lab_shape, label_crop_budget_bytes / 1e6, slab_depth,
-                )
-            streamed_batches += 1
-            fg_dev = jnp.asarray(fg)
-            acc = jnp.zeros(idx.shape[:-1], jnp.int32)
-            x_lo, x_hi = int(mins[0]), int(maxs[0]) + 1
-            for xs in range((x_lo // slab_depth) * slab_depth, x_hi,
-                            slab_depth):
-                slab = np.ascontiguousarray(labeled[xs : xs + slab_depth])
-                if slab.shape[0] < slab_depth:  # fixed shape -> one program
-                    slab = np.pad(
-                        slab, ((0, slab_depth - slab.shape[0]), (0, 0), (0, 0))
-                    )
-                acc = _gather_ids_slab(
-                    jnp.asarray(slab), idx, jnp.int32(xs), fg_dev, acc
-                )
-            ids = np.asarray(acc)
-        for i, o in enumerate(batch_origins[:real]):
-            _write_interior(
-                instance_mask, ids[i], o, a_crop, a_ov, pads, (x, y, z)
-            )
-
-    # benchmark report (reference contract eval.py:285-295)
-    dt = time.time() - bench_start
-    cur, peak = tracemalloc.get_traced_memory()
-    with open(stem + "_skoots_benchmark.txt", "w") as f:
-        f.write("SKOOTS Segmentation Benchmark:\n")
-        f.write("------------------------------\n")
-        f.write(f"Time: {dt} seconds\n")
-        f.write(f"Memory (current/max): {(cur, peak)}\n\n")
-    log.info("segmentation took %.2fs (peak host mem %.1f MB)", dt, peak / 1e6)
-
-    if out_of_core:
-        from skoots_tpu.ops.flood_fill import renumber_inplace
-
-        renumber_inplace(instance_mask)
-        instance_mask.flush()
-    else:
-        instance_mask, _ = renumber(instance_mask)
-        instance_mask = instance_mask.astype(np.int32)
-    out_path = output_path or (stem + "_instance_mask.tif")
-    imsave(out_path, instance_mask)
-    log.info("wrote %s (total %.2fs)", out_path, time.time() - t_start)
-    return instance_mask
+    finally:
+        # never leak allocation tracing past this call, even on error
+        # paths (every later trace-heavy caller in the process would
+        # pay the per-allocation traceback tax)
+        if _owns_tracing and tracemalloc.is_tracing():
+            tracemalloc.stop()
 
 
 def _round4(d: int) -> int:

@@ -29,6 +29,14 @@ from skoots_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+# One-core host, 125 GB RAM: after compile caching the next suite-wide
+# overhead is CPython gen-0 GC sweeping the tracer/jaxpr churn every 700
+# allocations while 20+ modules of live executables make each sweep walk a
+# huge heap. Trading memory for sweeps is free here.
+import gc
+
+gc.set_threshold(200_000, 100, 100)
+
 import numpy as np
 import pytest
 

@@ -31,7 +31,13 @@ def setup():
         jnp.zeros((1, 16, 16, 8, 1)),
         deterministic=True,
     )
-    return cfg, model, params
+    # one shared jitted step: the three step-behavior tests exercise the
+    # SAME program (runtime epoch/sigma/lr inputs), so tracing it once
+    # saves two full trace+lower passes of the fast suite
+    optimizer, schedule = cfg_optimizer(cfg)
+    sigma = init_sigma(cfg)
+    step = make_train_step(model, optimizer, schedule, sigma, cfg)
+    return cfg, model, params, optimizer, step
 
 
 def _fresh_state(params, optimizer):
@@ -63,10 +69,7 @@ def _batch(b=2, rng=None):
 
 class TestTrainStep:
     def test_loss_decreases(self, setup):
-        cfg, model, params = setup
-        optimizer, schedule = cfg_optimizer(cfg)
-        sigma = init_sigma(cfg)
-        step = make_train_step(model, optimizer, schedule, sigma, cfg)
+        cfg, model, params, optimizer, step = setup
         state = _fresh_state(params, optimizer)
         batch = _batch()
         rng = jax.random.PRNGKey(1)
@@ -78,10 +81,7 @@ class TestTrainStep:
         assert int(state.step) == 8
 
     def test_epoch_gating(self, setup):
-        cfg, model, params = setup
-        optimizer, schedule = cfg_optimizer(cfg)
-        sigma = init_sigma(cfg)
-        step = make_train_step(model, optimizer, schedule, sigma, cfg)
+        cfg, model, params, optimizer, step = setup
 
         fresh = lambda: _fresh_state(params, optimizer)
         batch = _batch()
@@ -95,10 +95,7 @@ class TestTrainStep:
         np.testing.assert_allclose(float(m_late["loss"]), expected_late, rtol=1e-5)
 
     def test_lr_schedule_applied(self, setup):
-        cfg, model, params = setup
-        optimizer, schedule = cfg_optimizer(cfg)
-        sigma = init_sigma(cfg)
-        step = make_train_step(model, optimizer, schedule, sigma, cfg)
+        cfg, model, params, optimizer, step = setup
         state = _fresh_state(params, optimizer)
         _, metrics = step(state, _batch(), jnp.asarray(0), jax.random.PRNGKey(0))
         np.testing.assert_allclose(
@@ -106,7 +103,7 @@ class TestTrainStep:
         )
 
     def test_eval_step(self, setup):
-        cfg, model, params = setup
+        cfg, model, params = setup[:3]
         sigma = init_sigma(cfg)
         ev = make_eval_step(model, sigma, cfg)
         m = ev(params, _batch(), jnp.asarray(0))
@@ -117,12 +114,11 @@ class TestTrainStep:
 class TestDataParallel:
     @pytest.mark.slow
     def test_sharded_step_matches_single(self, setup):
-        cfg, model, params = setup
-        optimizer, schedule = cfg_optimizer(cfg)
+        cfg, model, params, optimizer, step_1 = setup
+        _, schedule = cfg_optimizer(cfg)
         sigma = init_sigma(cfg)
         mesh = make_mesh(data=8, space=1)
         step_dp = make_train_step(model, optimizer, schedule, sigma, cfg, mesh=mesh)
-        step_1 = make_train_step(model, optimizer, schedule, sigma, cfg)
 
         batch = _batch(b=8)
         rng = jax.random.PRNGKey(3)
