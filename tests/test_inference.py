@@ -88,6 +88,11 @@ class TestRunInference:
         assert os.path.exists(stem + "_skoots_benchmark.txt")
         with open(stem + "_skoots_benchmark.txt") as f:
             assert "Time:" in f.read()
+        # the benchmark contract must not leak allocation tracing into the
+        # rest of the process (it taxed everything after ~3x; PARITY r4)
+        import tracemalloc
+
+        assert not tracemalloc.is_tracing()
         # output readable and matches
         saved = imread(stem + "_instance_mask.tif")
         np.testing.assert_array_equal(saved, mask)
