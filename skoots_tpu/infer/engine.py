@@ -342,6 +342,18 @@ def _probe_semantic_threshold(model, params, mean, std, volume,
     return calibrate_semantic_threshold_from_histogram(np.concatenate(probs))
 
 
+def _host_memory_report() -> tuple:
+    """(current, peak) host-memory figures for the benchmark file: traced
+    bytes when tracemalloc is active, else process peak RSS (ru_maxrss) —
+    the untraced fallback for SKOOTS_NO_TRACEMALLOC=1 production runs."""
+    if tracemalloc.is_tracing():
+        return tracemalloc.get_traced_memory()
+    import resource
+
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    return peak, peak
+
+
 def run_inference(
     image_path: str,
     checkpoint_path: str,
@@ -403,8 +415,12 @@ def run_inference(
     # memory — but tracing must not outlive this call: tracemalloc adds a
     # per-allocation traceback snapshot to EVERYTHING in the process, and
     # leaving it on slowed unrelated trace-heavy code ~3x (measured: the
-    # train-CLI e2e test ran 20 s alone vs 60 s after any inference test)
-    _owns_tracing = not tracemalloc.is_tracing()
+    # train-CLI e2e test ran 20 s alone vs 60 s after any inference test).
+    # SKOOTS_NO_TRACEMALLOC=1 skips tracing entirely for production runs
+    # (the benchmark file then reports the process ru_maxrss instead);
+    # host-streaming-heavy runs go measurably faster untraced.
+    _notrace = os.environ.get("SKOOTS_NO_TRACEMALLOC", "") not in ("", "0")
+    _owns_tracing = (not _notrace) and not tracemalloc.is_tracing()
     if _owns_tracing:
         tracemalloc.start()
     t_start = time.time()
@@ -514,7 +530,7 @@ def run_inference(
             bench_start = time.time()
             instance_mask = run(params, volume.astype(np.float32), mean, std)
             dt = time.time() - bench_start
-            cur, peak = tracemalloc.get_traced_memory()
+            cur, peak = _host_memory_report()
             if _owns_tracing:
                 tracemalloc.stop()
             with open(stem + "_skoots_benchmark.txt", "w") as f:
@@ -829,7 +845,7 @@ def run_inference(
 
         # benchmark report (reference contract eval.py:285-295)
         dt = time.time() - bench_start
-        cur, peak = tracemalloc.get_traced_memory()
+        cur, peak = _host_memory_report()
         if _owns_tracing:
             tracemalloc.stop()
         with open(stem + "_skoots_benchmark.txt", "w") as f:
