@@ -180,14 +180,25 @@ def dwconv3d_dgrad(g: jax.Array, w: jax.Array,
 
 
 def _dwconv3d_bwd(res, g):
+    import os
+
     x, w, b = res
     if w.shape[0] % 2 == 1:  # flip identity needs symmetric SAME padding
         dx = dwconv3d_dgrad(g, w).astype(x.dtype)
-        # dw/db stay on XLA's gradient path (a k^3-tap reduction, not a
-        # conv the forward kernel expresses); x is closed over so the
-        # backward graph never rebuilds dx
-        _, vjp_wb = jax.vjp(lambda w_, b_: _xla_dwconv_ref(x, w_, b_), w, b)
-        dw, db = vjp_wb(g)
+        if os.environ.get("SKOOTS_DWGRAD_IMPL", "xla") == "pallas":
+            # single-pass Pallas tap reduction (dwconv3d_wgrad_pallas);
+            # opt-in until the chip A/B lands (tools/bench_dwgrad.py)
+            dw = dwconv3d_wgrad_pallas(x, g, w.shape[0]).astype(w.dtype)
+            db = jnp.sum(
+                g.astype(jnp.float32), axis=tuple(range(g.ndim - 1))
+            ).astype(b.dtype)
+        else:
+            # dw/db on XLA's gradient path (a k^3-tap reduction); x is
+            # closed over so the backward graph never rebuilds dx
+            _, vjp_wb = jax.vjp(
+                lambda w_, b_: _xla_dwconv_ref(x, w_, b_), w, b
+            )
+            dw, db = vjp_wb(g)
         return dx, dw, db
     _, vjp = jax.vjp(_xla_dwconv_ref, x, w, b)
     return vjp(g)
@@ -524,3 +535,139 @@ def dwconv3d_pallas_v6(
         out = jnp.stack([one(x[i]) for i in range(bsz)])
     return out[0] if squeeze else out
 
+
+
+# --------------------------------------------------------------------------
+# wgrad: weight gradient of the depthwise conv in ONE pass over x and g.
+#
+# dw[dx,dy,dz,c] = sum_p xp[p + (dx,dy,dz)] * g[p]  (xp zero-padded by half)
+# — the same shifted-slab geometry as the v4 forward, but reducing over the
+# block instead of producing per-voxel outputs. Every grid cell maps to the
+# SAME [k,k,k,lanes] output block (constant index_map), so the sequential
+# TPU grid accumulates tap partial sums in VMEM and HBM traffic is exactly
+# one read of x + one read of g (XLA's grouped-conv wgrad re-materializes
+# conv-shaped intermediates instead). Lane groups carry the v4 z-packing;
+# the wrapper sums the g z-replicas at the end.
+
+
+def _dw_wgrad_kernel(x_hbm, g_ref, o_ref, slab, shifted, sem, *, bx, by, k,
+                     zq, g, c, rows):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[
+            pl.ds(i * bx, bx + k - 1),
+            pl.ds(j * by, by + k - 1),
+            slice(None),
+            slice(None),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    lanes = g * c
+    group = jax.lax.broadcasted_iota(
+        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
+    ) // c
+
+    for dz in range(k):
+        r0 = dz // g
+        r1 = (g - 1 + dz) // g
+
+        def view(r):
+            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
+            shift = (-(dz - r * g) * c) % lanes
+            if shift == 0:
+                return src
+            return pltpu.roll(src, shift, 3)
+
+        if r0 == r1:
+            shifted[dz] = view(r0)
+        else:
+            shifted[dz] = jnp.where(group < (r0 + 1) * g - dz, view(r0),
+                                    view(r1))
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    gb = g_ref[...].astype(jnp.float32)
+    for dz in range(k):
+        for dx in range(k):
+            for dy in range(k):
+                prod = shifted[dz, dx : dx + bx, dy : dy + by] * gb
+                o_ref[dx, dy, dz] = o_ref[dx, dy, dz] + jnp.sum(
+                    prod, axis=(0, 1, 2)
+                )
+
+
+def dwconv3d_wgrad_pallas(
+    x: jax.Array,
+    gout: jax.Array,
+    k: int,
+    block: tuple[int, int] = (8, 8),
+    interpret: bool = False,
+) -> jax.Array:
+    """Weight gradient dw [k,k,k,C] of the SAME-padded depthwise conv.
+
+    ``x``/``gout``: [B, X, Y, Z, C] primal input and output cotangent.
+    Same eligibility as the v4 forward: 128 % C == 0 and Z % (128//C) == 0.
+    """
+    if x.ndim == 4:
+        x, gout = x[None], gout[None]
+    bsz, xs, ys, zs, c = x.shape
+    half = (k - 1) // 2
+    g = 128 // c
+    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
+    zq = zs // g
+    rows = (g - 1 + k - 1) // g
+    rows = ((zq + rows + 7) // 8) * 8 - zq
+    lanes = g * c
+
+    bx = _fit(xs, block[0])
+    by = _fit(ys, block[1])
+
+    def one(xi, gi):
+        zback = (zq + rows) * g - zs - half
+        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
+        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
+        gpacked = gi.reshape(xs, ys, zq, lanes)
+        out = pl.pallas_call(
+            partial(_dw_wgrad_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
+                    rows=rows),
+            grid=(xs // bx, ys // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (k, k, k, lanes), lambda i, j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((k, k, k, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes),
+                           x.dtype),
+                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(xpacked, gpacked)
+        # lane group j carried z-slices z = q*g + j: the tap gradient sums
+        # every z, so the g packed replicas collapse by summation
+        return out.reshape(k, k, k, g, c).sum(axis=3)
+
+    dw = one(x[0], gout[0])
+    for i in range(1, bsz):
+        dw = dw + one(x[i], gout[i])
+    return dw

@@ -123,3 +123,35 @@ def test_dgrad_flip_identity_matches_xla_vjp(rng):
     dx = dwconv3d_dgrad(g, w, interpret=True)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_wgrad_pallas_matches_xla_vjp(rng, monkeypatch):
+    """The single-pass Pallas weight gradient (dwconv3d_wgrad_pallas) and
+    the SKOOTS_DWGRAD_IMPL=pallas backward must equal XLA's vjp exactly."""
+    import os
+
+    from skoots_tpu.kernels import dwconv as D
+
+    k, c = 3, 32
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, k, c)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 8, 8, 8, c)), jnp.float32)
+
+    # route both pallas entry points through interpret mode on CPU
+    real_wgrad = D.dwconv3d_wgrad_pallas
+    real_dgrad = D.dwconv3d_dgrad
+    monkeypatch.setattr(D, "dwconv3d_wgrad_pallas",
+                        lambda *a, **kw: real_wgrad(*a, interpret=True, **kw))
+    monkeypatch.setattr(D, "dwconv3d_dgrad",
+                        lambda *a, **kw: real_dgrad(*a, interpret=True, **kw))
+
+    monkeypatch.setenv("SKOOTS_DWGRAD_IMPL", "xla")
+    dx1, dw1, db1 = D._dwconv3d_bwd((x, w, b), g)
+    monkeypatch.setenv("SKOOTS_DWGRAD_IMPL", "pallas")
+    dx2, dw2, db2 = D._dwconv3d_bwd((x, w, b), g)
+    np.testing.assert_allclose(np.asarray(dw2), np.asarray(dw1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db2), np.asarray(db1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dx1), np.asarray(dx2))
