@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-4 queue m: after queue l, A/B the depthwise backward kernels
+# (tools/bench_dwgrad.py), then re-run bench_train with the winning wgrad
+# impl if pallas wins both geometries.
+set -u
+cd /root/repo
+LOG=runs/chip_queue_r04.log
+note() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
+
+probe() {
+  timeout 90 python -c "
+import jax, jax.numpy as jnp
+print(float(jnp.ones((8,8)).sum()))" >/dev/null 2>&1
+}
+
+wait_healthy() {
+  local waited=0
+  until probe; do
+    note "chip unhealthy; waited ${waited}s, sleeping 120"
+    sleep 120
+    waited=$((waited + 120))
+    [ "$waited" -ge 21600 ] && { note "giving up after 6h"; return 1; }
+  done
+  note "chip healthy"
+}
+
+QPID=$(cat /tmp/chip_queue_l.pid 2>/dev/null || echo "")
+if [ -n "$QPID" ]; then
+  while kill -0 "$QPID" 2>/dev/null; do sleep 60; done
+fi
+note "queue m: queue l done"
+wait_healthy || exit 1
+note "job 1m: bench_dwgrad A/B"
+timeout 3600 python tools/bench_dwgrad.py > /tmp/bench_dwgrad.out 2>&1
+note "job 1m rc=$? (log /tmp/bench_dwgrad.out)"
+if python - <<'PY'
+import json, sys
+try:
+    d = json.load(open("runs/bench_dwgrad.json"))
+    wins = all(r["wgrad_pallas_ms"] < r["wgrad_xla_ms"] for r in d["rows"])
+    sys.exit(0 if wins else 1)
+except Exception:
+    sys.exit(1)
+PY
+then
+  note "pallas wgrad wins both: job 2m bench_train with SKOOTS_DWGRAD_IMPL=pallas"
+  wait_healthy || exit 1
+  timeout 3600 env SKOOTS_DWGRAD_IMPL=pallas python tools/bench_train.py > /tmp/bench_train_wgrad.out 2>&1
+  note "job 2m rc=$? (log /tmp/bench_train_wgrad.out)"
+  cp runs/bench_train.json runs/bench_train_pallas_wgrad.json 2>/dev/null || true
+else
+  note "pallas wgrad does not win both geometries; keeping XLA default"
+fi
+note "queue m done"
