@@ -29,6 +29,8 @@ if [ -n "$QPID" ]; then
   while kill -0 "$QPID" 2>/dev/null; do sleep 60; done
 fi
 note "queue m: queue l done"
+# preserve the dgrad-only training bench before job 2m overwrites it
+cp -n runs/bench_train.json runs/bench_train_dgrad.json 2>/dev/null || true
 wait_healthy || exit 1
 note "job 1m: bench_dwgrad A/B"
 timeout 3600 python tools/bench_dwgrad.py > /tmp/bench_dwgrad.out 2>&1
