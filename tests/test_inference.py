@@ -435,3 +435,24 @@ class TestExperimentalCLI:
         from skoots_tpu.experimental.__main__ import main
 
         assert main([]) == 2
+
+
+class TestCLIDirectoryMode:
+    def test_directory_glob_segments_every_tif(self, tiny_ckpt, tmp_path):
+        """`skoots --image DIR` segments every *.tif in the directory and
+        skips *.labels.tif companions (reference __main__.py:92-96)."""
+        from skoots_tpu.cli import main
+        from skoots_tpu.utils.synthetic import make_tubes
+
+        d = tmp_path / "vols"
+        d.mkdir()
+        for i in range(2):
+            img, labels, _ = make_tubes(shape=(48, 48, 8), n_tubes=1, seed=i)
+            imsave(str(d / f"v{i}.tif"), img)
+            imsave(str(d / f"v{i}.labels.tif"), labels)
+        rc = main(["--image", str(d), "--pretrained-checkpoint", tiny_ckpt])
+        assert rc == 0
+        for i in range(2):
+            assert os.path.exists(str(d / f"v{i}_instance_mask.tif"))
+        # labels companions were skipped, not segmented
+        assert not os.path.exists(str(d / "v0.labels_instance_mask.tif"))
