@@ -43,7 +43,8 @@ def main() -> int:
     def xla_fwd(x, w):
         c = x.shape[-1]
         return jax.lax.conv_general_dilated(
-            x, w.reshape(K, K, K, 1, c), window_strides=(1, 1, 1),
+            x, w.reshape(K, K, K, 1, c).astype(x.dtype),
+            window_strides=(1, 1, 1),
             padding="SAME", dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
             feature_group_count=c,
         )
@@ -90,9 +91,7 @@ def main() -> int:
         t_fwd_pallas = timed(lambda v: dwconv3d_pallas_v4(v, w, None), True)
         t_dgrad_pallas = timed(lambda v: dwconv3d_dgrad(v, w), True)
         t_dgrad_xla = timed(
-            lambda v: jax.vjp(lambda xx: xla_fwd(xx, w), v)[1](
-                v.astype(jnp.float32)
-            )[0],
+            lambda v: jax.vjp(lambda xx: xla_fwd(xx, w), v)[1](v)[0],
             True,
         )
 
@@ -100,9 +99,7 @@ def main() -> int:
             return dwconv3d_wgrad_pallas(x, v, K)
 
         def wgrad_xla(v):
-            return jax.vjp(lambda ww: xla_fwd(x, ww), w)[1](
-                v.astype(jnp.float32)
-            )[0]
+            return jax.vjp(lambda ww: xla_fwd(x, ww), w)[1](v)[0]
 
         t_wgrad_pallas = timed(wgrad_pallas, False)
         t_wgrad_xla = timed(wgrad_xla, False)
