@@ -183,7 +183,11 @@ def _dwconv3d_bwd(res, g):
     import os
 
     x, w, b = res
-    if w.shape[0] % 2 == 1:  # flip identity needs symmetric SAME padding
+    # env kill switches (trace-time): SKOOTS_DGRAD_IMPL=xla restores the
+    # full XLA backward; SKOOTS_DWGRAD_IMPL=pallas opts into the Pallas
+    # weight gradient (off until the chip A/B lands)
+    if (w.shape[0] % 2 == 1  # flip identity needs symmetric SAME padding
+            and os.environ.get("SKOOTS_DGRAD_IMPL", "pallas") != "xla"):
         dx = dwconv3d_dgrad(g, w).astype(x.dtype)
         if os.environ.get("SKOOTS_DWGRAD_IMPL", "xla") == "pallas":
             # single-pass Pallas tap reduction (dwconv3d_wgrad_pallas);
