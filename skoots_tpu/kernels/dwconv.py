@@ -189,10 +189,14 @@ def _dwconv3d_bwd(res, g):
     if (w.shape[0] % 2 == 1  # flip identity needs symmetric SAME padding
             and os.environ.get("SKOOTS_DGRAD_IMPL", "pallas") != "xla"):
         dx = dwconv3d_dgrad(g, w).astype(x.dtype)
-        if os.environ.get("SKOOTS_DWGRAD_IMPL", "xla") == "pallas":
-            # single-pass Pallas tap reduction (dwconv3d_wgrad_pallas);
-            # opt-in until the chip A/B lands (tools/bench_dwgrad.py)
-            dw = dwconv3d_wgrad_pallas(x, g, w.shape[0]).astype(w.dtype)
+        wgrad_impl = os.environ.get("SKOOTS_DWGRAD_IMPL", "xla")
+        if wgrad_impl in ("pallas", "pallas_v2"):
+            # single-pass Pallas tap reduction; opt-in until the chip A/B
+            # lands (tools/bench_dwgrad.py): 'pallas' = full-block reduce,
+            # 'pallas_v2' = register-blocked carry accumulators
+            wg = (dwconv3d_wgrad_pallas_v2 if wgrad_impl == "pallas_v2"
+                  else dwconv3d_wgrad_pallas)
+            dw = wg(x, g, w.shape[0]).astype(w.dtype)
             db = jnp.sum(
                 g.astype(jnp.float32), axis=tuple(range(g.ndim - 1))
             ).astype(b.dtype)
@@ -669,6 +673,145 @@ def dwconv3d_wgrad_pallas(
         )(xpacked, gpacked)
         # lane group j carried z-slices z = q*g + j: the tap gradient sums
         # every z, so the g packed replicas collapse by summation
+        return out.reshape(k, k, k, g, c).sum(axis=3)
+
+    dw = one(x[0], gout[0])
+    for i in range(1, bsz):
+        dw = dw + one(x[i], gout[i])
+    return dw
+
+
+def _dw_wgrad_v2_kernel(x_hbm, g_ref, o_ref, slab, shifted, sem, *, bx, by,
+                        k, zq, g, c, rows):
+    """Register-blocked wgrad: for each dz, the k*k (dx,dy) tap partial
+    sums ride the fori_loop carry (vector registers) across the block's x
+    rows; the g row is loaded once per row and every streamed shifted
+    column feeds up to k taps (the v4 load-reuse idea transposed). The
+    per-tap cross-block reduction of the naive kernel disappears — only
+    one zq-fold per tap per block remains."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[
+            pl.ds(i * bx, bx + k - 1),
+            pl.ds(j * by, by + k - 1),
+            slice(None),
+            slice(None),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    lanes = g * c
+    group = jax.lax.broadcasted_iota(
+        jnp.int32, (bx + k - 1, by + k - 1, zq, lanes), 3
+    ) // c
+
+    for dz in range(k):
+        r0 = dz // g
+        r1 = (g - 1 + dz) // g
+
+        def view(r):
+            src = slab[:, :, r : r + zq, :].astype(jnp.float32)
+            shift = (-(dz - r * g) * c) % lanes
+            if shift == 0:
+                return src
+            return pltpu.roll(src, shift, 3)
+
+        if r0 == r1:
+            shifted[dz] = view(r0)
+        else:
+            shifted[dz] = jnp.where(group < (r0 + 1) * g - dz, view(r0),
+                                    view(r1))
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    for dz in range(k):
+
+        def body(xi, accs):
+            gr = [g_ref[xi, y].astype(jnp.float32) for y in range(by)]
+            new = list(accs)
+            for dx in range(k):
+                for yy in range(by + k - 1):
+                    s = shifted[dz, xi + dx, yy]
+                    for dy in range(k):
+                        y = yy - dy
+                        if 0 <= y < by:
+                            t = dx * k + dy
+                            new[t] = new[t] + s * gr[y]
+            return tuple(new)
+
+        zero = jnp.zeros((zq, lanes), jnp.float32)
+        accs = jax.lax.fori_loop(0, bx, body,
+                                 tuple(zero for _ in range(k * k)))
+        for dx in range(k):
+            for dy in range(k):
+                part = jnp.sum(accs[dx * k + dy], axis=0)
+                o_ref[dx, dy, dz] = o_ref[dx, dy, dz] + part
+
+
+def dwconv3d_wgrad_pallas_v2(
+    x: jax.Array,
+    gout: jax.Array,
+    k: int,
+    block: tuple[int, int] = (8, 8),
+    interpret: bool = False,
+) -> jax.Array:
+    """Register-blocked variant of :func:`dwconv3d_wgrad_pallas` (same
+    contract). Best at zq <= 8 (one f32 vreg per column); larger zq holds
+    k*k multi-vreg accumulators in the loop carry and may spill."""
+    if x.ndim == 4:
+        x, gout = x[None], gout[None]
+    bsz, xs, ys, zs, c = x.shape
+    half = (k - 1) // 2
+    g = 128 // c
+    assert 128 % c == 0 and zs % g == 0, (xs, ys, zs, c)
+    zq = zs // g
+    rows = (g - 1 + k - 1) // g
+    rows = ((zq + rows + 7) // 8) * 8 - zq
+    lanes = g * c
+
+    bx = _fit(xs, block[0])
+    by = _fit(ys, block[1])
+
+    def one(xi, gi):
+        zback = (zq + rows) * g - zs - half
+        xp = jnp.pad(xi, ((half, half), (half, half), (half, zback), (0, 0)))
+        xpacked = xp.reshape(xs + k - 1, ys + k - 1, zq + rows, lanes)
+        gpacked = gi.reshape(xs, ys, zq, lanes)
+        out = pl.pallas_call(
+            partial(_dw_wgrad_v2_kernel, bx=bx, by=by, k=k, zq=zq, g=g, c=c,
+                    rows=rows),
+            grid=(xs // bx, ys // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (bx, by, zq, lanes), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (k, k, k, lanes), lambda i, j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((k, k, k, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((bx + k - 1, by + k - 1, zq + rows, lanes),
+                           x.dtype),
+                pltpu.VMEM((k, bx + k - 1, by + k - 1, zq, lanes),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(xpacked, gpacked)
         return out.reshape(k, k, k, g, c).sum(axis=3)
 
     dw = one(x[0], gout[0])

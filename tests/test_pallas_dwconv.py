@@ -155,3 +155,18 @@ def test_wgrad_pallas_matches_xla_vjp(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(db2), np.asarray(db1),
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(dx1), np.asarray(dx2))
+
+
+def test_wgrad_v2_matches_v1(rng):
+    from skoots_tpu.kernels.dwconv import (
+        dwconv3d_wgrad_pallas,
+        dwconv3d_wgrad_pallas_v2,
+    )
+
+    k, c = 3, 32
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 8, 8, 8, c)), jnp.float32)
+    v1 = dwconv3d_wgrad_pallas(x, g, k, interpret=True)
+    v2 = dwconv3d_wgrad_pallas_v2(x, g, k, interpret=True)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               atol=1e-4, rtol=1e-4)

@@ -38,6 +38,7 @@ def main() -> int:
         dwconv3d_dgrad,
         dwconv3d_pallas_v4,
         dwconv3d_wgrad_pallas,
+        dwconv3d_wgrad_pallas_v2,
     )
 
     def xla_fwd(x, w):
@@ -98,10 +99,14 @@ def main() -> int:
         def wgrad_pallas(v):
             return dwconv3d_wgrad_pallas(x, v, K)
 
+        def wgrad_pallas_v2(v):
+            return dwconv3d_wgrad_pallas_v2(x, v, K)
+
         def wgrad_xla(v):
             return jax.vjp(lambda ww: xla_fwd(x, ww), w)[1](v)[0]
 
         t_wgrad_pallas = timed(wgrad_pallas, False)
+        t_wgrad_pallas_v2 = timed(wgrad_pallas_v2, False)
         t_wgrad_xla = timed(wgrad_xla, False)
 
         rows.append({
@@ -110,6 +115,7 @@ def main() -> int:
             "dgrad_pallas_ms": round(t_dgrad_pallas * 1e3, 2),
             "dgrad_xla_ms": round(t_dgrad_xla * 1e3, 2),
             "wgrad_pallas_ms": round(t_wgrad_pallas * 1e3, 2),
+            "wgrad_pallas_v2_ms": round(t_wgrad_pallas_v2 * 1e3, 2),
             "wgrad_xla_ms": round(t_wgrad_xla * 1e3, 2),
         })
         print(json.dumps(rows[-1]), flush=True)

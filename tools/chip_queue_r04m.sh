@@ -35,19 +35,26 @@ wait_healthy || exit 1
 note "job 1m: bench_dwgrad A/B"
 timeout 3600 python tools/bench_dwgrad.py > /tmp/bench_dwgrad.out 2>&1
 note "job 1m rc=$? (log /tmp/bench_dwgrad.out)"
-if python - <<'PY'
-import json, sys
+BEST=$(python - <<'PY'
+import json
 try:
     d = json.load(open("runs/bench_dwgrad.json"))
-    wins = all(r["wgrad_pallas_ms"] < r["wgrad_xla_ms"] for r in d["rows"])
-    sys.exit(0 if wins else 1)
+    rows = d["rows"]
+    def tot(key):
+        return sum(r[key] for r in rows)
+    cand = {"pallas": tot("wgrad_pallas_ms"),
+            "pallas_v2": tot("wgrad_pallas_v2_ms")}
+    best = min(cand, key=cand.get)
+    wins = all(r["wgrad_%s_ms" % ("pallas_v2" if best=="pallas_v2" else "pallas")] < r["wgrad_xla_ms"] for r in rows)
+    print(best if wins else "")
 except Exception:
-    sys.exit(1)
+    print("")
 PY
-then
-  note "pallas wgrad wins both: job 2m bench_train with SKOOTS_DWGRAD_IMPL=pallas"
+)
+if [ -n "$BEST" ]; then
+  note "pallas wgrad ($BEST) wins both: job 2m bench_train with SKOOTS_DWGRAD_IMPL=$BEST"
   wait_healthy || exit 1
-  timeout 3600 env SKOOTS_DWGRAD_IMPL=pallas python tools/bench_train.py > /tmp/bench_train_wgrad.out 2>&1
+  timeout 3600 env SKOOTS_DWGRAD_IMPL=$BEST python tools/bench_train.py > /tmp/bench_train_wgrad.out 2>&1
   note "job 2m rc=$? (log /tmp/bench_train_wgrad.out)"
   cp runs/bench_train.json runs/bench_train_pallas_wgrad.json 2>/dev/null || true
 else
