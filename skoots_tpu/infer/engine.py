@@ -55,6 +55,10 @@ from skoots_tpu.utils.io import imread, imsave
 
 log = logging.getLogger(__name__)
 
+# per-phase wall-clock + stage split of the most recent run_inference call
+# (also written to <image>_skoots_phases.json); perf forensics only
+last_stats: dict = {}
+
 
 def _pad_amounts(dim: int, crop: int, ov: int) -> Tuple[int, int]:
     """Reflect-pad so tile interiors [ov, padded-ov) cover [0, dim)."""
@@ -212,9 +216,13 @@ def _sweep(
     overlap: Tuple[int, int, int],
     batch: int,
     desc: str,
+    times: Optional[dict] = None,
 ):
     """Generic pipelined tile sweep. ``writers`` is a list of (array, slicer)
-    callbacks receiving interior numpy blocks."""
+    callbacks receiving interior numpy blocks. When ``times`` is given, a
+    stage breakdown is accumulated into it: ``gather_s`` (host memmap reads +
+    stacking), ``dispatch_s`` (tile_fn call, async up to the runtime's
+    dispatch depth), ``drain_s`` (blocking device→host + interior writes)."""
     spatial = volume.shape[:3]
     pads = [_pad_amounts(d, c, o) for d, c, o in zip(spatial, crop, overlap)]
     padded_shape = tuple(d + p[0] + p[1] for d, p in zip(spatial, pads))
@@ -228,20 +236,37 @@ def _sweep(
 
     pending = None  # (device results, batch_origins)
     t0 = time.time()
+    tg = td = tw = 0.0
     n_batches = (len(origins) + batch - 1) // batch
     for bi in range(n_batches):
         batch_origins = origins[bi * batch : (bi + 1) * batch]
         real = len(batch_origins)
         while len(batch_origins) < batch:  # pad final batch
             batch_origins = batch_origins + [batch_origins[-1]]
+        ts = time.time()
         tiles = gather_batch(batch_origins)
+        tg += time.time() - ts
+        ts = time.time()
         results = tile_fn(tiles)  # async dispatch
+        td += time.time() - ts
+        ts = time.time()
         if pending is not None:
             _drain(pending, writers, crop, overlap, pads, spatial)
+        tw += time.time() - ts
         pending = (results, batch_origins[:real])
+    ts = time.time()
     if pending is not None:
         _drain(pending, writers, crop, overlap, pads, spatial)
-    log.info("%s: %d tiles in %.2fs", desc, len(origins), time.time() - t0)
+    tw += time.time() - ts
+    total = time.time() - t0
+    if times is not None:
+        times.update(
+            {"tiles": len(origins), "total_s": round(total, 3),
+             "gather_s": round(tg, 3), "dispatch_s": round(td, 3),
+             "drain_s": round(tw, 3)}
+        )
+    log.info("%s: %d tiles in %.2fs (gather %.2f, dispatch %.2f, drain %.2f)",
+             desc, len(origins), total, tg, td, tw)
 
 
 def _drain(pending, writers, crop, overlap, pads, spatial):
@@ -424,6 +449,9 @@ def run_inference(
     if _owns_tracing:
         tracemalloc.start()
     t_start = time.time()
+    stats: dict = {"tracemalloc": not _notrace}  # per-phase wall + stage split
+    global last_stats
+    last_stats = stats
     try:
 
         stem = os.path.splitext(image_path)[0]
@@ -703,6 +731,7 @@ def run_inference(
                 ov,
                 batch,
                 "phase1-unet",
+                times=stats.setdefault("phase1", {}),
             )
             if out_of_core:
                 vectors.flush()
@@ -731,8 +760,11 @@ def run_inference(
         cc_crop = bucketed_crop_size_down(
             (256, 256, 64) if out_of_core else (512, 512, 128), (x, y, z)
         )
+        _t2 = time.time()
         labeled = efficient_flood_fill(skeleton_u8, crop_size=cc_crop,
                                        out=labels_out)
+        stats["phase2"] = {"total_s": round(time.time() - _t2, 3),
+                           "cc_crop": list(cc_crop)}
 
         # ---------------------------------------------------------------- phase 3
         log.info("phase 3: instance assignment")
@@ -776,11 +808,18 @@ def run_inference(
         pads = [_pad_amounts(d, c, o) for d, c, o in zip((x, y, z), a_crop, a_ov)]
         padded_shape = tuple(d + p[0] + p[1] for d, p in zip((x, y, z), pads))
         origins = crop_origins(padded_shape, a_crop, a_ov)
+        _t3 = time.time()
+        p3 = stats.setdefault(
+            "phase3", {"tiles": len(origins), "read_s": 0.0, "embed_s": 0.0,
+                       "labelcrop_s": 0.0, "gather_s": 0.0, "write_s": 0.0,
+                       "assign_crop": list(a_crop)}
+        )
         for bi in range(0, len(origins), batch):
             batch_origins = origins[bi : bi + batch]
             real = len(batch_origins)
             while len(batch_origins) < batch:
                 batch_origins = batch_origins + [batch_origins[-1]]
+            _ts = time.time()
             tiles = np.stack(
                 [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
             )  # stays float16: half the H2D bytes; 3a casts on device
@@ -789,29 +828,37 @@ def run_inference(
                     [_read_tile(semantic_u8, o, a_crop, pads)
                      for o in batch_origins]
                 )
+                p3["read_s"] += time.time() - _ts
             else:
                 # strict reference semantics (eval.py:277): no gate — any voxel
                 # whose walked embedding lands on a labeled skeleton gets that
                 # label, including the dilated-skeleton background halo
                 fg = np.ones((len(batch_origins), *a_crop), np.uint8)
+                p3["read_s"] += time.time() - _ts
             # offsets map padded-tile coords back into unpadded volume coords
             offs = np.asarray(
                 [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],
                 np.float32,
             )
+            _ts = time.time()
             idx, mins, maxs = embed_fn(jnp.asarray(tiles), jnp.asarray(offs))
             lab_origin, lab_shape = _bucket_bbox(
                 np.asarray(mins), np.asarray(maxs), (x, y, z)
             )
+            p3["embed_s"] += time.time() - _ts
             if lab_shape[0] * lab_shape[1] * lab_shape[2] * 4 <= label_crop_budget_bytes:
+                _ts = time.time()
                 lab_sl = tuple(
                     slice(o, o + s) for o, s in zip(lab_origin, lab_shape)
                 )
                 labels_crop = np.ascontiguousarray(labeled[lab_sl])
+                p3["labelcrop_s"] += time.time() - _ts
+                _ts = time.time()
                 ids = np.asarray(_gather_ids(
                     jnp.asarray(labels_crop), idx,
                     jnp.asarray(lab_origin, jnp.int32), jnp.asarray(fg),
                 ))
+                p3["gather_s"] += time.time() - _ts
             else:
                 if streamed_batches == 0:
                     log.warning(
@@ -838,13 +885,31 @@ def run_inference(
                         jnp.asarray(slab), idx, jnp.int32(xs), fg_dev, acc
                     )
                 ids = np.asarray(acc)
+            _ts = time.time()
             for i, o in enumerate(batch_origins[:real]):
                 _write_interior(
                     instance_mask, ids[i], o, a_crop, a_ov, pads, (x, y, z)
                 )
+            p3["write_s"] += time.time() - _ts
+        p3["total_s"] = round(time.time() - _t3, 3)
+        p3["streamed_batches"] = streamed_batches
+        for k in ("read_s", "embed_s", "labelcrop_s", "gather_s", "write_s"):
+            p3[k] = round(p3[k], 3)
+        log.info(
+            "phase 3: %d tiles in %.2fs (read %.2f, embed %.2f, labelcrop "
+            "%.2f, gather %.2f, write %.2f)", p3["tiles"], p3["total_s"],
+            p3["read_s"], p3["embed_s"], p3["labelcrop_s"], p3["gather_s"],
+            p3["write_s"],
+        )
 
         # benchmark report (reference contract eval.py:285-295)
         dt = time.time() - bench_start
+        stats["e2e_s"] = round(dt, 3)
+        try:  # stage-split sidecar for perf forensics (tools/bench_hoststream)
+            with open(stem + "_skoots_phases.json", "w") as f:
+                json.dump(stats, f, indent=1)
+        except OSError:
+            pass
         cur, peak = _host_memory_report()
         if _owns_tracing:
             tracemalloc.stop()
