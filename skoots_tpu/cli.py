@@ -43,6 +43,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-of-core", dest="out_of_core", default=None,
                    action="store_true",
                    help="force disk-backed buffers (default: auto over 256^3)")
+    p.add_argument("--engine", dest="engine_impl",
+                   choices=("auto", "host", "device"), default="auto",
+                   help="execution engine: 'device' = whole-volume on-device "
+                        "pipeline (volume + all intermediates in HBM, no "
+                        "per-tile host traffic); 'host' = tile-streaming "
+                        "3-phase engine (any volume size). Default auto: "
+                        "device when the volume fits device memory and no "
+                        "--use-cached buffers are in play")
+    p.add_argument("--wire-mode", dest="wire_mode",
+                   choices=("auto", "store", "recompute"), default="auto",
+                   help="host<->device traffic policy for the streaming "
+                        "engine: 'store' persists the f16 vector field and "
+                        "reads it back in phase 3 (reference zarr semantics); "
+                        "'recompute' ships only bit-packed masks and re-runs "
+                        "the forward on device per assign tile. Default auto: "
+                        "recompute for out-of-core volumes")
     p.add_argument("--skeletonize-train-data", type=str, default=None,
                    help="directory of *.labels.tif to precompute GT skeletons for")
     p.add_argument("--downscaleXY", type=float, default=1.0)
@@ -145,6 +161,8 @@ def main(argv=None) -> int:
             dilation_3d=args.dilation_3d,
             dilation_2d=args.dilation_2d,
             semantic_threshold=args.semantic_threshold,
+            wire_mode=args.wire_mode,
+            engine_impl=args.engine_impl,
         )
     return 0
 

@@ -205,7 +205,12 @@ def make_chunked_pipeline(
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
+    embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
+    dilation_3d: int = 1,
+    dilation_2d: int = 2,
+    semantic_threshold: float | None = None,
+    semantic_gate: bool = True,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     cc_jumps_per_round: int = 1,
@@ -220,6 +225,10 @@ def make_chunked_pipeline(
     for very large volumes where one program would run for minutes (some
     execution environments bound single-program wall time), and so partial
     progress overlaps host-side orchestration.
+
+    Carries the host-streaming engine's full knob surface (dilation stack,
+    split semantic threshold, gate toggle, walk decay) so ``run_inference``
+    can delegate in-HBM volumes here with identical semantics.
 
     Returns ``run(params, volume, mean, std) -> labels``; the jitted stages
     are built once and cached across calls.
@@ -243,6 +252,8 @@ def make_chunked_pipeline(
         vol = (volume.astype(jnp.float32) - mean) / std
         return jnp.pad(vol, pads, mode="reflect")
 
+    sem_thr = prob_threshold if semantic_threshold is None else semantic_threshold
+
     @partial(jax.jit, donate_argnums=(2, 3))
     def phase1_chunk(params, vol, vec_buf, skel_buf, chunk_origins):
         def tile_body(i, carry):
@@ -255,11 +266,14 @@ def make_chunked_pipeline(
             prob = out[..., 4:5]
             keep = (prob > prob_threshold).astype(out.dtype)
             vec = vec * keep
-            s5 = binary_dilation((skel * keep)[None])
-            s5 = binary_dilation_2d(binary_dilation_2d(s5))
+            s5 = (skel * keep)[None]
+            for _ in range(dilation_3d):
+                s5 = binary_dilation(s5)
+            for _ in range(dilation_2d):
+                s5 = binary_dilation_2d(s5)
             # bit 0: dilated skeleton; bit 1: semantic foreground
             skel_bin = (s5[0, ..., 0] > prob_threshold).astype(jnp.uint8)
-            skel_bin = skel_bin | (keep[..., 0].astype(jnp.uint8) << 1)
+            skel_bin = skel_bin | ((prob[..., 0] > sem_thr).astype(jnp.uint8) << 1)
             vec_buf = jax.lax.dynamic_update_slice(
                 vec_buf, vec[interior].astype(dtype), (o[0] + ox, o[1] + oy, o[2] + oz, 0)
             )
@@ -335,15 +349,19 @@ def make_chunked_pipeline(
                 vec_full, (o[0], o[1], o[2], 0), (*a_crop, 3)
             ).astype(jnp.float32)
             emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
+                                      decay=embed_decay,
                                       exit_fraction=embed_exit_fraction)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)
             iy = jnp.clip(idx[..., 1], 0, y - 1)
             iz = jnp.clip(idx[..., 2], 0, z - 1)
-            # semantic gate from the persisted probability decision (bit 1)
-            fg = jax.lax.dynamic_slice(skel_full, (o[0], o[1], o[2]), a_crop) >> 1
-            tile_inst = jnp.where(fg > 0, labels[ix, iy, iz], 0)
+            tile_inst = labels[ix, iy, iz]
+            if semantic_gate:
+                # semantic gate from the persisted probability decision (bit 1)
+                fg = jax.lax.dynamic_slice(
+                    skel_full, (o[0], o[1], o[2]), a_crop) >> 1
+                tile_inst = jnp.where(fg > 0, tile_inst, 0)
             return jax.lax.dynamic_update_slice(inst, tile_inst, (o[0], o[1], o[2]))
 
         return jax.lax.fori_loop(0, chunk_origins.shape[0], body, inst)
@@ -400,3 +418,14 @@ def segment_volume_chunked(model, params, volume, mean, std, **kwargs):
     """One-shot convenience wrapper around :func:`make_chunked_pipeline`."""
     run = make_chunked_pipeline(model, volume.shape, **kwargs)
     return run(params, volume, mean, std)
+
+
+def estimated_device_bytes(volume_shape) -> int:
+    """Peak HBM the chunked pipeline needs for a volume, conservatively.
+
+    Phase 1 holds the padded f32 volume (4 B/vox) + bf16 vectors (6) +
+    mask byte (1); phases 2-3 drop the volume but add int32 labels (4),
+    int32 instances (4) and the stepped-CC working set (~2 int32 buffers).
+    24 B/vox covers the worse phase with headroom for activations."""
+    x, y, z = volume_shape
+    return int(x) * int(y) * int(z) * 24

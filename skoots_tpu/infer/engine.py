@@ -67,11 +67,41 @@ def _pad_amounts(dim: int, crop: int, ov: int) -> Tuple[int, int]:
     return lo, hi
 
 
+def _pack_bits(m: jax.Array) -> jax.Array:
+    """[..., Z] {0,1} -> [..., Z//8] uint8 in ``np.packbits`` big-endian
+    layout (exact inverse: ``np.unpackbits(t, axis=-1)``). Packing the
+    phase-1 masks on device cuts their device->host bytes 8x — the wire
+    (PCIe, or this machine's TPU relay) is the host-streaming engine's
+    bottleneck, not compute."""
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    b = m.reshape(*m.shape[:-1], m.shape[-1] // 8, 8).astype(jnp.int32)
+    return (b * w).sum(-1).astype(jnp.uint8)
+
+
+def _make_mask_decoder(z: int):
+    """Host-side inverse of :func:`_pack_bits` for a [B, X, Y, Z//8] batch:
+    back to [B, X, Y, Z, 1] uint8 for the interior writers."""
+
+    def decode(t: np.ndarray) -> np.ndarray:
+        return np.unpackbits(t, axis=-1)[..., :z, None]
+
+    return decode
+
+
 def _make_tile_fn(model, params, mean, std, prob_thr: float,
                   dilation_3d: int = 1, dilation_2d: int = 2,
-                  sem_thr: float | None = None):
-    """Phase-1 jitted tile step: [B, X, Y, Z, 1] f32 -> interiors of
-    (vectors f16, dilated skeleton u8, semantic foreground u8).
+                  sem_thr: float | None = None, store_vectors: bool = True,
+                  pack_wire: bool = False):
+    """Phase-1 jitted tile step: [B, X, Y, Z, 1] image tiles (any dtype;
+    normalization casts on device, so uint8 volumes cross the wire at 1
+    byte/voxel instead of 4) -> interiors of
+    (vectors f16 [optional], dilated skeleton u8, semantic foreground u8).
+
+    ``store_vectors=False`` (wire_mode='recompute') omits the f16 vector
+    output entirely — 6 bytes/voxel of device->host traffic and disk that
+    phase 3 re-derives on device from the raw image. ``pack_wire`` packs
+    the two masks to 1 bit/voxel for the transfer (requires Z % 8 == 0;
+    the host unpacks before writing the full-resolution buffers).
 
     Default dilation stack = reference eval.py:152-157 (one 3D + two 2D);
     the experimental variant uses prob_thr 0.5 and three 2D dilations
@@ -90,7 +120,7 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float,
 
     @jax.jit
     def tile_fn(image_tiles: jax.Array):
-        x = (image_tiles - mean) / std
+        x = (image_tiles.astype(jnp.float32) - mean) / std
         out = model.apply(params, x, deterministic=True)
         vec = out[..., 0:3]
         skel = out[..., 3:4]
@@ -102,11 +132,15 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float,
             skel = binary_dilation(skel)
         for _ in range(dilation_2d):
             skel = binary_dilation_2d(skel)
-        return (
-            vec.astype(jnp.float16),
-            (skel > prob_thr).astype(jnp.uint8),
-            (prob > sem_thr).astype(jnp.uint8),
-        )
+        skel_u8 = (skel > prob_thr).astype(jnp.uint8)
+        sem_u8 = (prob > sem_thr).astype(jnp.uint8)
+        if pack_wire:
+            skel_u8 = _pack_bits(skel_u8[..., 0])
+            sem_u8 = _pack_bits(sem_u8[..., 0])
+        outs = (skel_u8, sem_u8)
+        if store_vectors:
+            outs = (vec.astype(jnp.float16),) + outs
+        return outs
 
     return tile_fn
 
@@ -132,6 +166,50 @@ def _make_embed_fn(scale: Sequence[float], vol_shape: Tuple[int, int, int],
         return idx, idx.min(axis=(0, 1, 2, 3)), idx.max(axis=(0, 1, 2, 3))
 
     return embed_fn
+
+
+def _make_recompute_embed_fn(model, params, mean, std, prob_thr: float,
+                             sem_thr: float | None,
+                             scale: Sequence[float],
+                             vol_shape: Tuple[int, int, int], n_iter: int,
+                             decay: float = 1.0,
+                             exit_fraction: float | None = None):
+    """Phase-3a for wire_mode='recompute': ONE jitted step from the raw
+    image tile (1 byte/voxel over the wire) to walked indices + on-device
+    foreground gate. Re-runs the phase-1 forward instead of round-tripping
+    the f16 vector field through host/disk — on hosts where the
+    device<->host wire is slower than ~100 MB/s (this machine's TPU relay;
+    any PCIe-starved setup) recomputing ~70 ms/Mvox of conv is far cheaper
+    than moving 6 bytes/voxel twice. ``sem_thr=None`` disables the gate
+    (strict reference semantics, eval.py:277).
+
+    Tile-boundary parity note: vectors recomputed in the ASSIGN tile
+    geometry can differ from phase-1-stored values near tile edges when the
+    two grids differ; at tiles >= training-crop scale the effect is below
+    instance level (seam study, BASELINE.md round-3)."""
+
+    dims = jnp.asarray(vol_shape, jnp.int32)
+
+    @jax.jit
+    def rec_fn(image_tiles: jax.Array, offsets: jax.Array):
+        xs = (image_tiles.astype(jnp.float32) - mean) / std
+        out = model.apply(params, xs, deterministic=True)
+        vec = out[..., 0:3]
+        prob = out[..., 4:5]
+        keep = (prob > prob_thr).astype(out.dtype)
+        vec = (vec * keep).astype(jnp.float16)  # match the stored-field path
+        emb = vector_to_embedding(jnp.asarray(scale),
+                                  vec.astype(jnp.float32), n=n_iter,
+                                  decay=decay, exit_fraction=exit_fraction)
+        emb = emb + offsets[:, None, None, None, :].astype(emb.dtype)
+        idx = jnp.clip(jnp.round(emb).astype(jnp.int32), 0, dims - 1)
+        if sem_thr is None:
+            fg = jnp.ones(prob.shape[:-1], jnp.uint8)
+        else:
+            fg = (prob[..., 0] > sem_thr).astype(jnp.uint8)
+        return idx, fg, idx.min(axis=(0, 1, 2, 3)), idx.max(axis=(0, 1, 2, 3))
+
+    return rec_fn
 
 
 @jax.jit
@@ -270,12 +348,17 @@ def _sweep(
 
 
 def _drain(pending, writers, crop, overlap, pads, spatial):
+    """Writers are arrays or ``(array, decode)`` pairs; ``decode`` maps the
+    batched wire tensor back to full-resolution tiles (e.g. bit unpack)."""
     results, batch_origins = pending
-    results = [np.asarray(r) for r in (results if isinstance(results, tuple) else (results,))]
-    for i, o in enumerate(batch_origins):
-        # interior of the tile in padded coords
-        for w_arr, r in zip(writers, results):
-            _write_interior(w_arr, r[i], o, crop, overlap, pads, spatial)
+    results = results if isinstance(results, tuple) else (results,)
+    for w, r in zip(writers, results):
+        w_arr, decode = w if isinstance(w, tuple) else (w, None)
+        rn = np.asarray(r)  # blocking device->host
+        if decode is not None:
+            rn = decode(rn)
+        for i, o in enumerate(batch_origins):
+            _write_interior(w_arr, rn[i], o, crop, overlap, pads, spatial)
 
 
 def _write_interior(out_arr, tile, origin, crop, overlap, pads, spatial):
@@ -400,6 +483,8 @@ def run_inference(
     out_of_core: Optional[bool] = None,
     semantic_gate: bool = True,
     label_crop_budget_bytes: Optional[int] = None,
+    wire_mode: str = "auto",
+    engine_impl: str = "auto",
 ) -> np.ndarray:
     """Segment a volume. Writes ``<image>_instance_mask.tif`` and
     ``<image>_skoots_benchmark.txt`` (reference contract, eval.py:285-310).
@@ -432,6 +517,28 @@ def run_inference(
     fattens every instance by the dilation radius. The default gate keeps
     masks at the model's semantic boundary (measured: instance IoU vs GT
     0.999 gated vs 0.22 ungated on the parity volume, runs/parity/).
+
+    ``wire_mode`` governs how much data crosses the device<->host wire:
+    'store' persists the f16 vector field in phase 1 and reads it back in
+    phase 3 (reference zarr semantics, eval.py:102-103); 'recompute' skips
+    the vector round trip — phase 1 ships only the two masks (bit-packed
+    when the tile Z is a multiple of 8), phase 3 re-runs the forward on
+    device from the raw image tile. 'auto' (default, env override
+    SKOOTS_WIRE_MODE) picks 'recompute' for out-of-core volumes, where the
+    f16 field costs 6 bytes/voxel of wire AND disk twice. --use-cached
+    works in both modes: a cache produced under 'recompute' has no vector
+    buffer and phase 3 recomputes.
+
+    ``engine_impl`` selects the execution engine: 'host' streams tiles
+    host<->device through the three phases (works at any volume size);
+    'device' runs the whole-volume on-device pipeline
+    (``infer.device_pipeline``: one H2D of the volume, all three phases in
+    HBM, one D2H of the mask — no per-tile wire traffic, no host CC).
+    'auto' (default, env SKOOTS_ENGINE) delegates to the device pipeline
+    when the volume exceeds 256^3 (below that the host path's overhead is
+    negligible and its buffer cache is useful), its estimated peak HBM
+    fits the device, and no phase-1 cache is in play (the device pipeline
+    neither writes nor reads the cached buffers).
 
     Returns the instance mask ``[X, Y, Z]`` int32 (a memmap when
     out-of-core).
@@ -593,12 +700,23 @@ def run_inference(
         # producing run actually used, not against the CLI defaults (ADVICE r3)
         knobs_path = stem + "_skoots_phase1.json"
 
+        requested_out_of_core = out_of_core  # caller intent, pre-resolution
         if out_of_core is None:
             out_of_core = x * y * z > 256**3
 
+        wire_mode = os.environ.get("SKOOTS_WIRE_MODE", "") or wire_mode
+        if wire_mode == "auto":
+            wire_mode = "recompute" if out_of_core else "store"
+        if wire_mode not in ("store", "recompute"):
+            raise ValueError(f"wire_mode {wire_mode!r} not in store/recompute/auto")
+        stats["wire_mode"] = wire_mode
+
+        # the masks alone define a usable cache; the vector buffer is
+        # optional (absent when the producing run used wire_mode='recompute')
         cache_hit = use_cached_data and all(
-            os.path.exists(p) for p in (vec_path, skel_path, sem_path)
+            os.path.exists(p) for p in (skel_path, sem_path)
         )
+        cache_has_vectors = cache_hit and os.path.exists(vec_path)
 
         if semantic_threshold is None:
             if sparse_ckpt and not cache_hit:
@@ -667,6 +785,80 @@ def run_inference(
             "dilation_2d": dilation_2d,
         }
 
+        # ------------------------------------------------ engine delegation
+        engine_impl = os.environ.get("SKOOTS_ENGINE", "") or engine_impl
+        if engine_impl not in ("auto", "host", "device"):
+            raise ValueError(f"engine_impl {engine_impl!r} not in auto/host/device")
+        use_device_engine = engine_impl == "device"
+        # an EXPLICIT out_of_core=True pins the host-streaming engine (the
+        # caller wants bounded-memory streaming semantics, e.g. bigvol proof)
+        if (engine_impl == "auto" and not cache_hit
+                and requested_out_of_core is not True
+                and x * y * z > 256**3):
+            from skoots_tpu.infer.device_pipeline import estimated_device_bytes
+            from skoots_tpu.infer.sharded import device_bytes_limit
+
+            limit = device_bytes_limit()
+            use_device_engine = (
+                limit is not None and estimated_device_bytes((x, y, z)) <= limit
+            )
+        if use_device_engine:
+            from skoots_tpu.infer.device_pipeline import make_chunked_pipeline
+
+            # explicit caller geometry wins; the reference-parity defaults
+            # mean "unset" and get the measured-best on-device grid (the
+            # zero-overlap bench geometry, BASELINE.md round-4)
+            dev_crop = ((256, 256, 96)
+                        if tuple(crop_size) == (300, 300, 20) else crop)
+            dev_ov = ((0, 0, 0)
+                      if tuple(overlap) == (50, 50, 5)
+                      else tuple(min(o, c // 4) for o, c in zip(overlap, dev_crop)))
+            dev_assign = (None if tuple(assign_crop_size) == (500, 500, 50)
+                          else tuple(min(a, d) for a, d in
+                                     zip(assign_crop_size, (x, y, z))))
+            log.info(
+                "engine: whole-volume device pipeline (volume fits HBM; "
+                "crop=%s overlap=%s). --use-cached buffers are neither "
+                "written nor read on this path; SKOOTS_ENGINE=host restores "
+                "the streaming engine.", dev_crop, dev_ov,
+            )
+            run = make_chunked_pipeline(
+                model, (x, y, z), crop=dev_crop, overlap=dev_ov,
+                assign_crop=dev_assign, vector_scale=vec_scale,
+                prob_threshold=prob_threshold,
+                embed_iterations=embed_iterations, embed_decay=embed_decay,
+                embed_exit_fraction=embed_exit_fraction,
+                dilation_3d=dilation_3d, dilation_2d=dilation_2d,
+                semantic_threshold=semantic_threshold,
+                semantic_gate=semantic_gate,
+            )
+            bench_start = time.time()
+            instance_mask = np.asarray(run(params, np.asarray(volume), mean, std))
+            dt = time.time() - bench_start
+            stats["engine"] = "device"
+            stats["phase_s"] = dict(getattr(run, "last_phase_s", {}) or {})
+            stats["e2e_s"] = round(dt, 3)
+            try:
+                with open(stem + "_skoots_phases.json", "w") as f:
+                    json.dump(stats, f, indent=1)
+            except OSError:
+                pass
+            cur, peak = _host_memory_report()
+            if _owns_tracing:
+                tracemalloc.stop()
+            with open(stem + "_skoots_benchmark.txt", "w") as f:
+                f.write("SKOOTS Segmentation Benchmark:\n")
+                f.write("------------------------------\n")
+                f.write(f"Time: {dt} seconds\n")
+                f.write(f"Memory (current/max): {(cur, peak)}\n\n")
+            instance_mask, _ = renumber(instance_mask)
+            instance_mask = instance_mask.astype(np.int32)
+            out_path = output_path or (stem + "_instance_mask.tif")
+            imsave(out_path, instance_mask)
+            log.info("device-pipeline segmentation took %.2fs -> %s", dt, out_path)
+            return instance_mask
+        stats["engine"] = "host"
+
         if cache_hit:
             import json as _json
 
@@ -701,32 +893,54 @@ def run_inference(
                     "baked in; --dilate-3d/--dilate-2d/prob_threshold are ignored",
                     os.path.basename(knobs_path),
                 )
-            vectors = np.load(vec_path, mmap_mode="r")
+            if cache_has_vectors:
+                vectors = np.load(vec_path, mmap_mode="r")
+            else:
+                vectors = None
+                if wire_mode == "store":
+                    log.info(
+                        "use_cached_data: no vector buffer in the cache "
+                        "(produced under wire_mode='recompute') — phase 3 "
+                        "recomputes vectors on device"
+                    )
+                    wire_mode = "recompute"
             skeleton_u8 = np.load(skel_path, mmap_mode="r")
             semantic_u8 = np.load(sem_path, mmap_mode="r")
             bench_start = time.time()
         else:
+            store_vectors = wire_mode == "store"
+            vectors = None
             if out_of_core:
                 from skoots_tpu.utils.io import open_outofcore
 
-                vectors = open_outofcore(vec_path, (x, y, z, 3), "float16")
+                if store_vectors:
+                    vectors = open_outofcore(vec_path, (x, y, z, 3), "float16")
                 skeleton_u8 = open_outofcore(skel_path, (x, y, z), "uint8")
                 semantic_u8 = open_outofcore(sem_path, (x, y, z), "uint8")
             else:
-                vectors = np.zeros((x, y, z, 3), np.float16)
+                if store_vectors:
+                    vectors = np.zeros((x, y, z, 3), np.float16)
                 skeleton_u8 = np.zeros((x, y, z), np.uint8)
                 semantic_u8 = np.zeros((x, y, z), np.uint8)
+            pack_wire = crop[2] % 8 == 0
             tile_fn = _make_tile_fn(
                 model, params, mean, std, prob_threshold, dilation_3d,
-                dilation_2d, sem_thr=semantic_threshold
+                dilation_2d, sem_thr=semantic_threshold,
+                store_vectors=store_vectors, pack_wire=pack_wire,
             )
+            decode = _make_mask_decoder(crop[2]) if pack_wire else None
+            writers = ([vectors] if store_vectors else []) + [
+                (skeleton_u8[..., None], decode),
+                (semantic_u8[..., None], decode),
+            ]
             bench_start = time.time()
-            # the phase-1 sweep reads the (possibly memmapped) raw volume tile by
-            # tile; per-tile f32 conversion happens in gather, not whole-volume
+            # the phase-1 sweep reads the (possibly memmapped) raw volume tile
+            # by tile; tiles cross the wire in their NATIVE dtype (uint8 EM
+            # volumes: 1 byte/voxel, not 4) and normalization casts on device
             _sweep(
                 volume[..., None],
-                [vectors, skeleton_u8[..., None], semantic_u8[..., None]],
-                lambda t: tile_fn(jnp.asarray(t, jnp.float32)),
+                writers,
+                lambda t: tile_fn(jnp.asarray(t)),
                 crop,
                 ov,
                 batch,
@@ -734,15 +948,20 @@ def run_inference(
                 times=stats.setdefault("phase1", {}),
             )
             if out_of_core:
-                vectors.flush()
+                if store_vectors:
+                    vectors.flush()
                 skeleton_u8.flush()
                 semantic_u8.flush()
             else:
-                np.save(vec_path, vectors)
+                if store_vectors:
+                    np.save(vec_path, vectors)
                 np.save(skel_path, skeleton_u8)
                 np.save(sem_path, semantic_u8)
+            if not store_vectors and os.path.exists(vec_path):
+                os.remove(vec_path)  # a stale field would poison --use-cached
             import json as _json
 
+            phase1_knobs["vectors_stored"] = store_vectors
             with open(knobs_path, "w") as f:
                 _json.dump(phase1_knobs, f)
 
@@ -787,8 +1006,15 @@ def run_inference(
         # indexes a host-RAM-resident labeled tensor per crop, eval.py:245-268;
         # here phase 3a computes the reached bbox on device, the host slices that
         # bbox from the labels array/memmap, and phase 3b gathers from it.)
-        embed_fn = _make_embed_fn(vec_scale, (x, y, z), embed_iterations,
-                                  embed_decay, embed_exit_fraction)
+        if wire_mode == "recompute":
+            embed_fn = _make_recompute_embed_fn(
+                model, params, mean, std, prob_threshold,
+                semantic_threshold if semantic_gate else None, vec_scale,
+                (x, y, z), embed_iterations, embed_decay, embed_exit_fraction,
+            )
+        else:
+            embed_fn = _make_embed_fn(vec_scale, (x, y, z), embed_iterations,
+                                      embed_decay, embed_exit_fraction)
 
         # Label-crop budget: when a batch's reached bbox would copy more label
         # bytes than this to host+device, fall back to streaming fixed-shape
@@ -819,33 +1045,49 @@ def run_inference(
             real = len(batch_origins)
             while len(batch_origins) < batch:
                 batch_origins = batch_origins + [batch_origins[-1]]
-            _ts = time.time()
-            tiles = np.stack(
-                [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
-            )  # stays float16: half the H2D bytes; 3a casts on device
-            if semantic_gate:
-                fg = np.stack(
-                    [_read_tile(semantic_u8, o, a_crop, pads)
-                     for o in batch_origins]
-                )
-                p3["read_s"] += time.time() - _ts
-            else:
-                # strict reference semantics (eval.py:277): no gate — any voxel
-                # whose walked embedding lands on a labeled skeleton gets that
-                # label, including the dilated-skeleton background halo
-                fg = np.ones((len(batch_origins), *a_crop), np.uint8)
-                p3["read_s"] += time.time() - _ts
             # offsets map padded-tile coords back into unpadded volume coords
             offs = np.asarray(
                 [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],
                 np.float32,
             )
-            _ts = time.time()
-            idx, mins, maxs = embed_fn(jnp.asarray(tiles), jnp.asarray(offs))
-            lab_origin, lab_shape = _bucket_bbox(
-                np.asarray(mins), np.asarray(maxs), (x, y, z)
-            )
-            p3["embed_s"] += time.time() - _ts
+            if wire_mode == "recompute":
+                # raw image tiles over the wire (1 B/vox for uint8 EM data);
+                # forward + walk + gate run as ONE device program
+                _ts = time.time()
+                tiles = np.stack(
+                    [_read_tile(volume[..., None], o, a_crop, pads)
+                     for o in batch_origins]
+                )
+                p3["read_s"] += time.time() - _ts
+                _ts = time.time()
+                idx, fg, mins, maxs = embed_fn(jnp.asarray(tiles),
+                                               jnp.asarray(offs))
+                lab_origin, lab_shape = _bucket_bbox(
+                    np.asarray(mins), np.asarray(maxs), (x, y, z)
+                )
+                p3["embed_s"] += time.time() - _ts
+            else:
+                _ts = time.time()
+                tiles = np.stack(
+                    [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
+                )  # stays float16: half the H2D bytes; 3a casts on device
+                if semantic_gate:
+                    fg = np.stack(
+                        [_read_tile(semantic_u8, o, a_crop, pads)
+                         for o in batch_origins]
+                    )
+                else:
+                    # strict reference semantics (eval.py:277): no gate — any
+                    # voxel whose walked embedding lands on a labeled skeleton
+                    # gets that label, incl. the dilated-skeleton halo
+                    fg = np.ones((len(batch_origins), *a_crop), np.uint8)
+                p3["read_s"] += time.time() - _ts
+                _ts = time.time()
+                idx, mins, maxs = embed_fn(jnp.asarray(tiles), jnp.asarray(offs))
+                lab_origin, lab_shape = _bucket_bbox(
+                    np.asarray(mins), np.asarray(maxs), (x, y, z)
+                )
+                p3["embed_s"] += time.time() - _ts
             if lab_shape[0] * lab_shape[1] * lab_shape[2] * 4 <= label_crop_budget_bytes:
                 _ts = time.time()
                 lab_sl = tuple(

@@ -128,6 +128,86 @@ class TestRunInference:
         )
         np.testing.assert_array_equal(m1, m2)
 
+    def test_device_engine_delegation_matches_host(self, tiny_ckpt, tmp_path):
+        """engine_impl='device' routes through the whole-volume on-device
+        pipeline with the SAME knob semantics; instance output must agree
+        with the host-streaming engine (storage dtypes differ — bf16 vs f16
+        vector fields — so agreement is relabel-invariant, near-total)."""
+        from skoots_tpu.infer import run_inference
+
+        image, _, _ = make_tubes(shape=(64, 64, 8), n_tubes=2)
+        path = str(tmp_path / "dev.tif")
+        imsave(path, image)
+        kw = dict(crop_size=(32, 32, 8), overlap=(0, 0, 0),
+                  assign_crop_size=(32, 32, 8), assign_overlap=(0, 0, 0))
+        m_host = run_inference(path, tiny_ckpt, engine_impl="host", **kw)
+        m_dev = run_inference(path, tiny_ckpt, engine_impl="device", **kw)
+        assert m_dev.shape == m_host.shape and m_dev.dtype == np.int32
+        stem = os.path.splitext(path)[0]
+        import json as _json
+
+        with open(stem + "_skoots_phases.json") as f:
+            st = _json.load(f)
+        assert st["engine"] == "device" and "phase_s" in st
+        # foreground sets must agree almost everywhere
+        fg_agree = np.mean((m_host > 0) == (m_dev > 0))
+        assert fg_agree > 0.995, fg_agree
+        # every host instance maps to one device label covering >=99% of it
+        for lab in np.unique(m_host)[1:]:
+            sel = m_dev[m_host == lab]
+            vals, counts = np.unique(sel, return_counts=True)
+            assert counts.max() / sel.size >= 0.99, (lab, vals, counts)
+
+    def test_pack_bits_matches_numpy_packbits(self):
+        from skoots_tpu.infer.engine import _make_mask_decoder, _pack_bits
+
+        rng = np.random.default_rng(3)
+        m = (rng.random((2, 5, 7, 16)) > 0.5).astype(np.uint8)
+        packed = np.asarray(_pack_bits(np.asarray(m)))
+        np.testing.assert_array_equal(packed, np.packbits(m, axis=-1))
+        back = _make_mask_decoder(16)(packed)
+        np.testing.assert_array_equal(back, m[..., None])
+
+    def test_wire_recompute_matches_store(self, tiny_ckpt, tmp_path):
+        """wire_mode='recompute' (phase 1 ships bit-packed masks only; phase
+        3 re-runs the forward from the raw image) must reproduce the
+        stored-vector path exactly on an identical zero-overlap tile grid —
+        the recomputed field is the same f16 values the store path wrote."""
+        from skoots_tpu.infer import run_inference
+
+        image, _, _ = make_tubes(shape=(64, 64, 8), n_tubes=2)
+        path = str(tmp_path / "wire.tif")
+        imsave(path, image)
+        kw = dict(crop_size=(32, 32, 8), overlap=(0, 0, 0),
+                  assign_crop_size=(32, 32, 8), assign_overlap=(0, 0, 0))
+        m_store = run_inference(path, tiny_ckpt, wire_mode="store", **kw)
+        stem = os.path.splitext(path)[0]
+        assert os.path.exists(stem + "_skoots_vectors.npy")
+        m_rec = run_inference(path, tiny_ckpt, wire_mode="recompute", **kw)
+        # recompute leaves no vector buffer behind (and removes a stale one)
+        assert not os.path.exists(stem + "_skoots_vectors.npy")
+        np.testing.assert_array_equal(m_store, m_rec)
+
+    def test_recompute_cache_rerun(self, tiny_ckpt, tmp_path):
+        """--use-cached on a cache produced under wire_mode='recompute'
+        (masks only, no vector buffer) recomputes phase 3 and matches."""
+        import json as _json
+
+        from skoots_tpu.infer import run_inference
+
+        image, _, _ = make_tubes(shape=(64, 64, 8), n_tubes=2)
+        path = str(tmp_path / "wirecache.tif")
+        imsave(path, image)
+        kw = dict(crop_size=(32, 32, 8), overlap=(0, 0, 0),
+                  assign_crop_size=(32, 32, 8), assign_overlap=(0, 0, 0))
+        m1 = run_inference(path, tiny_ckpt, wire_mode="recompute", **kw)
+        stem = os.path.splitext(path)[0]
+        with open(stem + "_skoots_phase1.json") as f:
+            assert _json.load(f)["vectors_stored"] is False
+        m2 = run_inference(path, tiny_ckpt, use_cached_data=True,
+                           wire_mode="store", **kw)  # store downgrades
+        np.testing.assert_array_equal(m1, m2)
+
     def test_streamed_label_gather_matches_fast_path(self, tiny_ckpt,
                                                      tmp_path):
         """A tile batch whose walk bbox exceeds the label-crop budget falls
@@ -175,7 +255,7 @@ class TestRunInference:
         with open(stem + "_skoots_phase1.json") as f:
             assert json.load(f) == {
                 "prob_threshold": 0.8, "semantic_threshold": 0.8,
-                "dilation_3d": 0, "dilation_2d": 1}
+                "dilation_3d": 0, "dilation_2d": 1, "vectors_stored": True}
         # reload with EXPLICIT different knobs -> must warn (old check
         # compared against hard-coded defaults and stayed silent)
         with caplog.at_level(logging.WARNING, "skoots_tpu.infer.engine"):

@@ -51,9 +51,11 @@ def main() -> int:
         )
 
     rows = []
+    # geometries = the two training-bench cases (tools/bench_train.py): the
+    # campaign crop and the reference training envelope (engine.py:107-115)
     for label, shape in (
         ("campaign 96^2x32 B2", (2, 96, 96, 32, 32)),
-        ("fullres 256^2x96 B1", (1, 256, 256, 96, 32)),
+        ("reference-envelope 304^2x24 B1", (1, 304, 304, 24, 32)),
     ):
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
@@ -62,52 +64,62 @@ def main() -> int:
                         jnp.float32)
 
         def timed(fn, out_like_x: bool, n=8):
-            """fori_loop with dependency feedback through the iterate."""
+            """fori_loop with dependency feedback through the iterate.
+
+            x and g enter as ARGUMENTS, never closure constants: a captured
+            device array is inlined into the serialized HLO, and at
+            multi-hundred-MB operand sizes the relay's compile endpoint
+            rejects the request body (HTTP 413, queue-o failure)."""
             if out_like_x:
                 @jax.jit
-                def loop(v):
+                def loop(xx):
                     def body(i, v):
                         return fn(v).astype(v.dtype)
-                    return jax.lax.fori_loop(0, n, body, v)
+                    return jax.lax.fori_loop(0, n, body, xx)
+
+                args = (x,)
             else:
                 @jax.jit
-                def loop(v):
+                def loop(xx, gg):
                     def body(i, acc):
                         # feed a scalar back through the operand to chain
-                        return fn(g + acc[0, 0, 0].astype(g.dtype)).astype(
-                            jnp.float32
-                        )
+                        return fn(xx, gg + acc[0, 0, 0].astype(gg.dtype)
+                                  ).astype(jnp.float32)
                     return jax.lax.fori_loop(
                         0, n, body,
                         jnp.zeros((K, K, K, shape[-1]), jnp.float32),
                     )
 
-            jax.block_until_ready(loop(x))  # compile
+                args = (x, g)
+
+            jax.block_until_ready(loop(*args))  # compile
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(x))
+            jax.block_until_ready(loop(*args))
             return (time.perf_counter() - t0) / n
 
         mvox = float(np.prod(shape[:4])) / 1e6
 
-        t_fwd_pallas = timed(lambda v: dwconv3d_pallas_v4(v, w, None), True)
-        t_dgrad_pallas = timed(lambda v: dwconv3d_dgrad(v, w), True)
-        t_dgrad_xla = timed(
-            lambda v: jax.vjp(lambda xx: xla_fwd(xx, w), v)[1](v)[0],
-            True,
-        )
+        try:
+            t_fwd_pallas = timed(lambda v: dwconv3d_pallas_v4(v, w, None), True)
+            t_dgrad_pallas = timed(lambda v: dwconv3d_dgrad(v, w), True)
+            t_dgrad_xla = timed(
+                lambda v: jax.vjp(lambda xx: xla_fwd(xx, w), v)[1](v)[0],
+                True,
+            )
 
-        def wgrad_pallas(v):
-            return dwconv3d_wgrad_pallas(x, v, K)
-
-        def wgrad_pallas_v2(v):
-            return dwconv3d_wgrad_pallas_v2(x, v, K)
-
-        def wgrad_xla(v):
-            return jax.vjp(lambda ww: xla_fwd(x, ww), w)[1](v)[0]
-
-        t_wgrad_pallas = timed(wgrad_pallas, False)
-        t_wgrad_pallas_v2 = timed(wgrad_pallas_v2, False)
-        t_wgrad_xla = timed(wgrad_xla, False)
+            t_wgrad_pallas = timed(
+                lambda xx, v: dwconv3d_wgrad_pallas(xx, v, K), False)
+            t_wgrad_pallas_v2 = timed(
+                lambda xx, v: dwconv3d_wgrad_pallas_v2(xx, v, K), False)
+            t_wgrad_xla = timed(
+                lambda xx, v: jax.vjp(lambda ww: xla_fwd(xx, ww), w)[1](v)[0],
+                False,
+            )
+        except Exception as e:  # record, keep the other geometries' rows
+            rows.append({"case": label, "shape": list(shape),
+                         "error": f"{type(e).__name__}: {e}"[:300]})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
 
         rows.append({
             "case": label, "shape": list(shape), "mvox": round(mvox, 3),

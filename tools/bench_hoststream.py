@@ -119,16 +119,19 @@ def main() -> int:
     geom = dict(crop_size=(256, 256, 96), overlap=(0, 0, 0),
                 assign_crop_size=(256, 256, 96), assign_overlap=(0, 0, 0))
 
-    # first run pays XLA compiles (cold); the warm untraced-vs-traced pair
-    # isolates the tracemalloc tax at equal compile state
-    runs = [("untraced_cold", "1"), ("untraced", "1")]
+    # first run pays XLA compiles (cold); the warm pairs then isolate
+    # (a) wire_mode recompute-vs-store and (b) the tracemalloc tax,
+    # each at equal compile state
+    runs = [("recompute_cold", "1", "recompute"),
+            ("recompute", "1", "recompute"),
+            ("store", "1", "store")]
     if not args.skip_traced:
-        runs.append(("traced", "0"))
-    for name, notrace in runs:
+        runs.append(("traced", "0", "recompute"))
+    for name, notrace, wire in runs:
         os.environ["SKOOTS_NO_TRACEMALLOC"] = notrace
         t0 = time.time()
         run_inference(vol_path, ckpt, out_of_core=True, batch=args.batch,
-                      embed_iterations=10, **geom)
+                      embed_iterations=10, wire_mode=wire, **geom)
         wall = time.time() - t0
         out[name] = {
             "wall_s": round(wall, 1),
