@@ -980,10 +980,17 @@ def run_inference(
             (256, 256, 64) if out_of_core else (512, 512, 128), (x, y, z)
         )
         _t2 = time.time()
+        cc_info: dict = {}
         labeled = efficient_flood_fill(skeleton_u8, crop_size=cc_crop,
-                                       out=labels_out)
+                                       out=labels_out, info=cc_info)
+        # labels fit uint16 -> phase-3 label uploads and id downloads can
+        # cross the wire at half width (bound from the CC's component count)
+        labels_u16 = (cc_info.get("max_label") is not None
+                      and cc_info["max_label"] < 2**16)
         stats["phase2"] = {"total_s": round(time.time() - _t2, 3),
-                           "cc_crop": list(cc_crop)}
+                           "cc_crop": list(cc_crop),
+                           "max_label": cc_info.get("max_label"),
+                           "labels_u16": labels_u16}
 
         # ---------------------------------------------------------------- phase 3
         log.info("phase 3: instance assignment")
@@ -1094,6 +1101,8 @@ def run_inference(
                     slice(o, o + s) for o, s in zip(lab_origin, lab_shape)
                 )
                 labels_crop = np.ascontiguousarray(labeled[lab_sl])
+                if labels_u16:
+                    labels_crop = labels_crop.astype(np.uint16)
                 p3["labelcrop_s"] += time.time() - _ts
                 _ts = time.time()
                 ids = np.asarray(_gather_ids(
@@ -1114,11 +1123,14 @@ def run_inference(
                     )
                 streamed_batches += 1
                 fg_dev = jnp.asarray(fg)
-                acc = jnp.zeros(idx.shape[:-1], jnp.int32)
+                acc = jnp.zeros(idx.shape[:-1],
+                                jnp.uint16 if labels_u16 else jnp.int32)
                 x_lo, x_hi = int(mins[0]), int(maxs[0]) + 1
                 for xs in range((x_lo // slab_depth) * slab_depth, x_hi,
                                 slab_depth):
                     slab = np.ascontiguousarray(labeled[xs : xs + slab_depth])
+                    if labels_u16:
+                        slab = slab.astype(np.uint16)
                     if slab.shape[0] < slab_depth:  # fixed shape -> one program
                         slab = np.pad(
                             slab, ((0, slab_depth - slab.shape[0]), (0, 0), (0, 0))

@@ -463,6 +463,15 @@ def _compact_labels(labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return comp.reshape(labels.shape), rank[-1] if n else jnp.int32(0)
 
 
+def _unpack_bits_dev(packed: jax.Array) -> jax.Array:
+    """Device-side inverse of ``np.packbits(..., axis=-1)`` (big-endian
+    bit order): [..., Z//8] uint8 -> [..., Z] bool. Lets the binary CC
+    tile cross the host->device wire at 1 bit/voxel."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8) > 0
+
+
 def efficient_flood_fill(
     skeleton: np.ndarray,
     crop_size: Tuple[int, int, int] = (512, 512, 128),
@@ -471,6 +480,8 @@ def efficient_flood_fill(
     out: np.ndarray | None = None,
     compact: bool | None = None,
     cc_impl: str = "auto",
+    wire_thrift: bool | None = None,
+    info: dict | None = None,
 ) -> np.ndarray:
     """Out-of-core connected components with on-device tiles + seam merge.
 
@@ -491,6 +502,17 @@ def efficient_flood_fill(
             components actually present instead, so int32 holds up to 2^31
             real instances. ``None`` (default) auto-enables exactly when the
             fast-path offsets would overflow.
+        wire_thrift: minimize host<->device transfer bytes (default ON; env
+            ``SKOOTS_CC_WIRE=wide`` or ``False`` restores wide transfers).
+            The binary tile crosses host->device BIT-PACKED (1/8 byte/voxel,
+            unpacked on device) when the tile Z is a multiple of 8, and the
+            labeled tile returns uint16 (2 bytes/voxel) whenever its
+            compacted component count fits — implies ``compact=True``. On
+            wire-constrained hosts (PCIe-starved, TPU-over-network relays)
+            the transfer, not the labeling, is this function's cost.
+        info: optional dict; receives ``max_label`` (an upper bound on the
+            returned labels when compact mode ran, else None) so callers can
+            pick narrow dtypes for downstream label transfers.
 
     Returns:
         ``[X, Y, Z]`` int32 labeled array (labels unique per component).
@@ -507,17 +529,25 @@ def efficient_flood_fill(
     # tile-local labels are raveled indices + 1; offset each tile into a
     # disjoint id range so labels stay globally unique
     tile_span = int(np.prod(crop)) + 1
+    import os
+
+    if wire_thrift is None:
+        wire_thrift = os.environ.get("SKOOTS_CC_WIRE", "") != "wide"
     if compact is None:
-        compact = len(origins) * tile_span > 2**31 - 1
+        compact = wire_thrift or len(origins) * tile_span > 2**31 - 1
 
     label_fn = jax.jit(partial(label_components, max_rounds=max_rounds))
+    pack_h2d = wire_thrift and crop[2] % 8 == 0
+    if pack_h2d:
+        label_packed_fn = jax.jit(
+            lambda p: label_components(_unpack_bits_dev(p),
+                                       max_rounds=max_rounds)
+        )
     # sparse point-cloud CC (label_components_sparse) is OPT-IN only —
     # measured 4x SLOWER than the dense engine at the 512^3 bench on v5e
     # (see device_pipeline.py's run_cc note / BASELINE.md round-4).
     # Identical labeling convention, so the seam merge is unaffected
     # either way; per-tile fallback on capacity/edge overflow.
-    import os
-
     cc_impl = os.environ.get("SKOOTS_CC_IMPL", cc_impl)
     use_sparse = cc_impl == "sparse"
     cc_n_max = max(1 << 14, (int(np.prod(crop)) // 32 + 8191) // 8192 * 8192)
@@ -526,19 +556,30 @@ def efficient_flood_fill(
     next_label = 0  # running component count (compact mode only)
     for t, origin in enumerate(origins):
         sl = tuple(slice(o, o + c) for o, c in zip(origin, crop))
-        dev_tile = jnp.asarray(skeleton[sl] > 0)
         labeled_tile = None
         if use_sparse:
+            dev_tile = jnp.asarray(skeleton[sl] > 0)
             lab, ok = label_components_sparse(dev_tile, n_max=cc_n_max)
             if bool(ok):
                 labeled_tile = lab
-        if labeled_tile is None:
-            labeled_tile = label_fn(dev_tile)
+            else:
+                labeled_tile = label_fn(dev_tile)
+        elif pack_h2d:
+            packed = np.packbits(np.asarray(skeleton[sl]) > 0, axis=-1)
+            labeled_tile = label_packed_fn(jnp.asarray(packed))
+        else:
+            labeled_tile = label_fn(jnp.asarray(skeleton[sl] > 0))
         if compact:
             labeled_tile, count = _compact_labels(labeled_tile)
-            tile = np.array(labeled_tile, np.int32)
+            c = int(count)
+            if wire_thrift and c < 2**16:
+                # narrow device->host: compacted labels fit uint16
+                tile = np.asarray(
+                    labeled_tile.astype(jnp.uint16)).astype(np.int32)
+            else:
+                tile = np.array(labeled_tile, np.int32)
             offset = next_label
-            next_label += int(count)
+            next_label += c
             if next_label >= 2**31 - 1:  # not an assert: must survive python -O
                 raise RuntimeError(
                     f"instance count {next_label} exceeds int32 label range"
@@ -571,6 +612,10 @@ def efficient_flood_fill(
         if changed.any():
             remap_labels_inplace(out, keys[changed], roots[changed])
 
+    if info is not None:
+        # seam merge only lowers labels, so the pre-merge running count
+        # bounds every label value present (compact mode only)
+        info["max_label"] = next_label if compact else None
     if relabel_sequential:
         renumber_inplace(out)
     return out

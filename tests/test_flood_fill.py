@@ -98,6 +98,33 @@ class TestEfficientFloodFill:
         assert len(pairs) == got.max()
 
 
+class TestWireThrift:
+    def test_wire_thrift_matches_wide(self, rng):
+        """Bit-packed H2D + uint16 D2H (wire_thrift, the default) must be a
+        pure transfer encoding: identical partition to wide transfers, on
+        both a packable (z%8==0) and an unpackable tile z."""
+        for shape, crop in (((64, 48, 16), (32, 32, 8)),
+                            ((48, 48, 12), (32, 32, 12)),
+                            ((48, 48, 10), (32, 32, 6))):
+            x = (rng.random(shape) > 0.75).astype(np.int32)
+            info: dict = {}
+            thrift = _canon(efficient_flood_fill(
+                x, crop_size=crop, wire_thrift=True, info=info))
+            wide = _canon(efficient_flood_fill(
+                x, crop_size=crop, wire_thrift=False, compact=False))
+            np.testing.assert_array_equal(thrift, wide)
+            assert info["max_label"] is not None
+            assert thrift.max() <= info["max_label"]
+
+    def test_unpack_bits_roundtrip(self, rng):
+        from skoots_tpu.ops.flood_fill import _unpack_bits_dev
+
+        m = (rng.random((5, 7, 24)) > 0.5)
+        packed = np.packbits(m, axis=-1)
+        back = np.asarray(_unpack_bits_dev(jnp.asarray(packed)))
+        np.testing.assert_array_equal(back, m)
+
+
 class TestRemap:
     def test_remap_labels(self):
         x = np.array([[1, 2, 3], [3, 2, 0]])
