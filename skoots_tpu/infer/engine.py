@@ -312,30 +312,40 @@ def _sweep(
         )
         return tiles
 
-    pending = None  # (device results, batch_origins)
-    t0 = time.time()
-    tg = td = tw = 0.0
-    n_batches = (len(origins) + batch - 1) // batch
-    for bi in range(n_batches):
+    def padded_batch(bi):
         batch_origins = origins[bi * batch : (bi + 1) * batch]
         real = len(batch_origins)
         while len(batch_origins) < batch:  # pad final batch
             batch_origins = batch_origins + [batch_origins[-1]]
-        ts = time.time()
-        tiles = gather_batch(batch_origins)
-        tg += time.time() - ts
-        ts = time.time()
-        results = tile_fn(tiles)  # async dispatch
-        td += time.time() - ts
+        return batch_origins, real
+
+    pending = None  # (device results, batch_origins)
+    t0 = time.time()
+    tg = td = tw = 0.0
+    n_batches = (len(origins) + batch - 1) // batch
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:  # read-ahead: disk I/O overlaps device
+        fut = ex.submit(gather_batch, padded_batch(0)[0]) if n_batches else None
+        for bi in range(n_batches):
+            batch_origins, real = padded_batch(bi)
+            ts = time.time()
+            tiles = fut.result()
+            if bi + 1 < n_batches:
+                fut = ex.submit(gather_batch, padded_batch(bi + 1)[0])
+            tg += time.time() - ts
+            ts = time.time()
+            results = tile_fn(tiles)  # async dispatch
+            td += time.time() - ts
+            ts = time.time()
+            if pending is not None:
+                _drain(pending, writers, crop, overlap, pads, spatial)
+            tw += time.time() - ts
+            pending = (results, batch_origins[:real])
         ts = time.time()
         if pending is not None:
             _drain(pending, writers, crop, overlap, pads, spatial)
         tw += time.time() - ts
-        pending = (results, batch_origins[:real])
-    ts = time.time()
-    if pending is not None:
-        _drain(pending, writers, crop, overlap, pads, spatial)
-    tw += time.time() - ts
     total = time.time() - t0
     if times is not None:
         times.update(
@@ -1047,54 +1057,64 @@ def run_inference(
                        "labelcrop_s": 0.0, "gather_s": 0.0, "write_s": 0.0,
                        "assign_crop": list(a_crop)}
         )
-        for bi in range(0, len(origins), batch):
+        def _p3_read(batch_origins):
+            """Host-side reads for one batch (runs on the read-ahead thread).
+            recompute mode: raw image tiles (1 B/vox over the wire; the
+            foreground gate is computed on device). store mode: the f16
+            vector field + the semantic gate (or all-ones for strict
+            reference semantics, eval.py:277)."""
+            if wire_mode == "recompute":
+                t = np.stack(
+                    [_read_tile(volume[..., None], o, a_crop, pads)
+                     for o in batch_origins]
+                )
+                return t, None
+            t = np.stack(
+                [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
+            )  # stays float16: half the H2D bytes; 3a casts on device
+            if semantic_gate:
+                f = np.stack(
+                    [_read_tile(semantic_u8, o, a_crop, pads)
+                     for o in batch_origins]
+                )
+            else:
+                f = np.ones((len(batch_origins), *a_crop), np.uint8)
+            return t, f
+
+        def _p3_batch(bi):
             batch_origins = origins[bi : bi + batch]
             real = len(batch_origins)
             while len(batch_origins) < batch:
                 batch_origins = batch_origins + [batch_origins[-1]]
+            return batch_origins, real
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        _p3_ex = ThreadPoolExecutor(1)  # read-ahead overlaps device work
+        fut = _p3_ex.submit(_p3_read, _p3_batch(0)[0]) if len(origins) else None
+        for bi in range(0, len(origins), batch):
+            batch_origins, real = _p3_batch(bi)
             # offsets map padded-tile coords back into unpadded volume coords
             offs = np.asarray(
                 [[o[0] - pads[0][0], o[1] - pads[1][0], o[2] - pads[2][0]] for o in batch_origins],
                 np.float32,
             )
+            _ts = time.time()
+            tiles, fg = fut.result()
+            if bi + batch < len(origins):
+                fut = _p3_ex.submit(_p3_read, _p3_batch(bi + batch)[0])
+            p3["read_s"] += time.time() - _ts
+            _ts = time.time()
             if wire_mode == "recompute":
-                # raw image tiles over the wire (1 B/vox for uint8 EM data);
                 # forward + walk + gate run as ONE device program
-                _ts = time.time()
-                tiles = np.stack(
-                    [_read_tile(volume[..., None], o, a_crop, pads)
-                     for o in batch_origins]
-                )
-                p3["read_s"] += time.time() - _ts
-                _ts = time.time()
                 idx, fg, mins, maxs = embed_fn(jnp.asarray(tiles),
                                                jnp.asarray(offs))
-                lab_origin, lab_shape = _bucket_bbox(
-                    np.asarray(mins), np.asarray(maxs), (x, y, z)
-                )
-                p3["embed_s"] += time.time() - _ts
             else:
-                _ts = time.time()
-                tiles = np.stack(
-                    [_read_tile(vectors, o, a_crop, pads) for o in batch_origins]
-                )  # stays float16: half the H2D bytes; 3a casts on device
-                if semantic_gate:
-                    fg = np.stack(
-                        [_read_tile(semantic_u8, o, a_crop, pads)
-                         for o in batch_origins]
-                    )
-                else:
-                    # strict reference semantics (eval.py:277): no gate — any
-                    # voxel whose walked embedding lands on a labeled skeleton
-                    # gets that label, incl. the dilated-skeleton halo
-                    fg = np.ones((len(batch_origins), *a_crop), np.uint8)
-                p3["read_s"] += time.time() - _ts
-                _ts = time.time()
                 idx, mins, maxs = embed_fn(jnp.asarray(tiles), jnp.asarray(offs))
-                lab_origin, lab_shape = _bucket_bbox(
-                    np.asarray(mins), np.asarray(maxs), (x, y, z)
-                )
-                p3["embed_s"] += time.time() - _ts
+            lab_origin, lab_shape = _bucket_bbox(
+                np.asarray(mins), np.asarray(maxs), (x, y, z)
+            )
+            p3["embed_s"] += time.time() - _ts
             if lab_shape[0] * lab_shape[1] * lab_shape[2] * 4 <= label_crop_budget_bytes:
                 _ts = time.time()
                 lab_sl = tuple(
@@ -1145,6 +1165,7 @@ def run_inference(
                     instance_mask, ids[i], o, a_crop, a_ov, pads, (x, y, z)
                 )
             p3["write_s"] += time.time() - _ts
+        _p3_ex.shutdown(wait=False)
         p3["total_s"] = round(time.time() - _t3, 3)
         p3["streamed_batches"] = streamed_batches
         for k in ("read_s", "embed_s", "labelcrop_s", "gather_s", "write_s"):
