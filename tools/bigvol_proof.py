@@ -183,8 +183,13 @@ def main() -> int:
 
     from skoots_tpu.infer import run_inference
 
-    tracemalloc.start()
-    baseline = tracemalloc.get_traced_memory()[0]
+    # SKOOTS_NO_TRACEMALLOC skips allocation tracing here too — the traced
+    # control run measured its tax at ~3x on memmap-heavy host code
+    trace = os.environ.get("SKOOTS_NO_TRACEMALLOC", "") in ("", "0")
+    baseline = 0
+    if trace:
+        tracemalloc.start()
+        baseline = tracemalloc.get_traced_memory()[0]
     t0 = time.time()
     with _AnonRssSampler() as rss:
         mask = run_inference(
@@ -200,8 +205,10 @@ def main() -> int:
             output_path=os.path.join(args.outdir, "instance.npy"),
         )
     wall = time.time() - t0
-    _, tm_peak = tracemalloc.get_traced_memory()
-    tracemalloc.stop()
+    tm_peak = baseline
+    if trace:
+        _, tm_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
 
     n_inst = 0
     step = max(shape[0] // 16, 1)
@@ -228,13 +235,17 @@ def main() -> int:
         "peak_rss_incl_page_cache_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
         ),
-        "tracemalloc_delta_mb": round((tm_peak - baseline) / 1e6, 1),
+        "tracemalloc_delta_mb": (round((tm_peak - baseline) / 1e6, 1)
+                                 if trace else None),
         "device_memory_stats": dev_stats,
         "out_of_core": True,
         "backend": jax.default_backend(),
         "phantom": args.phantom,
         "checkpoint": ckpt,
     }
+    from skoots_tpu.infer import engine as _eng
+
+    result["phases"] = _eng.last_stats
     with open(os.path.join(args.outdir, "result.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
