@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true",
                    help="force disk-backed buffers (default: auto over 256^3)")
     p.add_argument("--engine", dest="engine_impl",
-                   choices=("auto", "host", "device"), default="auto",
+                   choices=("auto", "host", "device", "device-thrifty"),
+                   default="auto",
                    help="execution engine: 'device' = whole-volume on-device "
                         "pipeline (volume + all intermediates in HBM, no "
                         "per-tile host traffic); 'host' = tile-streaming "

@@ -420,12 +420,211 @@ def segment_volume_chunked(model, params, volume, mean, std, **kwargs):
     return run(params, volume, mean, std)
 
 
-def estimated_device_bytes(volume_shape) -> int:
-    """Peak HBM the chunked pipeline needs for a volume, conservatively.
+def make_thrifty_pipeline(
+    model,
+    volume_shape: Tuple[int, int, int],
+    crop: Tuple[int, int, int] = (128, 128, 64),
+    overlap: Tuple[int, int, int] = (16, 16, 8),
+    assign_crop: Tuple[int, int, int] | None = (256, 256, 64),
+    vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
+    prob_threshold: float = 0.8,
+    embed_iterations: int = 10,
+    embed_decay: float = 1.0,
+    embed_exit_fraction: float | None = None,
+    dilation_3d: int = 1,
+    dilation_2d: int = 2,
+    semantic_threshold: float | None = None,
+    semantic_gate: bool = True,
+    cc_rounds: int = 32,
+    cc_propagates_per_round: int = 128,
+    cc_jumps_per_round: int = 1,
+    tiles_per_dispatch: int = 16,
+):
+    """HBM-thrifty whole-volume pipeline: ~11 bytes/voxel peak instead of
+    the chunked pipeline's ~24, stretching the single-chip in-HBM ceiling
+    from ~700^3 to ~1100^3 on a 16 GB device. Three savings:
 
-    Phase 1 holds the padded f32 volume (4 B/vox) + bf16 vectors (6) +
-    mask byte (1); phases 2-3 drop the volume but add int32 labels (4),
-    int32 instances (4) and the stepped-CC working set (~2 int32 buffers).
-    24 B/vox covers the worse phase with headroom for activations."""
+    * the volume stays device-resident in its NATIVE dtype (uint8 EM data:
+      1 B/vox, not f32's 4); tiles normalize on the fly inside each program
+    * NO bf16 vector buffer (6 B/vox): phase 3 re-runs the forward per
+      assign tile and walks the fresh field immediately — the on-device
+      analogue of the streaming engine's wire_mode='recompute'
+    * labels compact on device after CC (``_compact_labels`` cumsum-rank);
+      when the component count fits uint16 the label volume and the
+      instance output hold 2 B/vox and the final device->host mask transfer
+      halves. The returned mask is ALREADY sequentially labeled 1..N.
+
+    Assign tiles get no reflect halo for the recomputed forward (the walk
+    gathers from the full label volume, so only border-voxel vector quality
+    is affected; at assign tiles >= training-crop scale the instance-level
+    effect measured zero — seam study, BASELINE.md round-3/4).
+
+    Returns ``run(params, volume, mean, std) -> labels``; ``run.last_count``
+    holds the component count.
+    """
     x, y, z = volume_shape
-    return int(x) * int(y) * int(z) * 24
+    crop = tuple(min(c, _round4(d)) for c, d in zip(crop, volume_shape))
+    ov = tuple(min(o, c // 4) for o, c in zip(overlap, crop))
+    pads = [(o, max(o, c - (d + o))) for d, c, o in zip(volume_shape, crop, ov)]
+    px, py, pz = (d + p[0] + p[1] for d, p in zip((x, y, z), pads))
+    origins = np.asarray(crop_origins((px, py, pz), crop, ov), np.int32)
+    cx, cy, cz = crop
+    ox, oy, oz = ov
+    interior = (
+        slice(ox, cx - ox) if ox else slice(0, cx),
+        slice(oy, cy - oy) if oy else slice(0, cy),
+        slice(oz, cz - oz) if oz else slice(0, cz),
+    )
+    sem_thr = prob_threshold if semantic_threshold is None else semantic_threshold
+
+    @jax.jit
+    def prep(volume):  # native dtype: no whole-volume f32 copy ever exists
+        return jnp.pad(volume, pads, mode="reflect")
+
+    def _normalize(tile, mean, std):
+        return (tile.astype(jnp.float32) - mean) / std
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def phase1_chunk(params, vol, skel_buf, chunk_origins, mean, std):
+        def tile_body(i, skel_buf):
+            o = chunk_origins[i]
+            tile = jax.lax.dynamic_slice(vol, (o[0], o[1], o[2]), crop)
+            xs = _normalize(tile, mean, std)
+            out = model.apply(params, xs[None, ..., None], deterministic=True)[0]
+            skel = out[..., 3:4]
+            prob = out[..., 4:5]
+            keep = (prob > prob_threshold).astype(out.dtype)
+            s5 = (skel * keep)[None]
+            for _ in range(dilation_3d):
+                s5 = binary_dilation(s5)
+            for _ in range(dilation_2d):
+                s5 = binary_dilation_2d(s5)
+            # bit 0: dilated skeleton; bit 1: semantic foreground
+            skel_bin = (s5[0, ..., 0] > prob_threshold).astype(jnp.uint8)
+            skel_bin = skel_bin | ((prob[..., 0] > sem_thr).astype(jnp.uint8) << 1)
+            return jax.lax.dynamic_update_slice(
+                skel_buf, skel_bin[interior], (o[0] + ox, o[1] + oy, o[2] + oz)
+            )
+
+        return jax.lax.fori_loop(0, chunk_origins.shape[0], tile_body, skel_buf)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def trim_skel(skel_buf):
+        return jax.lax.dynamic_slice(
+            skel_buf, (pads[0][0], pads[1][0], pads[2][0]), (x, y, z)
+        )
+
+    from skoots_tpu.ops.flood_fill import (
+        _compact_labels,
+        make_label_components_stepped,
+    )
+
+    stepped_cc = make_label_components_stepped(
+        (x, y, z), rounds_per_dispatch=1,
+        propagates_per_round=cc_propagates_per_round,
+        jumps_per_round=cc_jumps_per_round,
+    )
+    compact = jax.jit(_compact_labels, donate_argnums=(0,))
+    to_u16 = jax.jit(lambda v: v.astype(jnp.uint16), donate_argnums=(0,))
+
+    a_crop = tuple(
+        min(c, _round4(d)) for c, d in zip(assign_crop or crop, volume_shape)
+    )
+    a_origins = np.asarray(crop_origins((x, y, z), a_crop, (0, 0, 0)), np.int32)
+    scale_arr = jnp.asarray(vector_scale, jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(3,))
+    def assign_chunk(params, labels, vol, inst, chunk_origins, mean, std):
+        def body(i, inst):
+            o = chunk_origins[i]
+            # padded coords for the volume slice, unpadded for everything else
+            tile = jax.lax.dynamic_slice(
+                vol, (o[0] + pads[0][0], o[1] + pads[1][0], o[2] + pads[2][0]),
+                a_crop,
+            )
+            xs = _normalize(tile, mean, std)
+            out = model.apply(params, xs[None, ..., None], deterministic=True)[0]
+            vec = out[..., 0:3]
+            prob = out[..., 4:5]
+            keep = (prob > prob_threshold).astype(out.dtype)
+            vec = (vec * keep).astype(jnp.float16)  # match the stored-field path
+            emb = vector_to_embedding(scale_arr, vec[None].astype(jnp.float32),
+                                      n=embed_iterations, decay=embed_decay,
+                                      exit_fraction=embed_exit_fraction)[0]
+            emb = emb + o.astype(jnp.float32)[None, None, None, :]
+            idx = jnp.round(emb).astype(jnp.int32)
+            ix = jnp.clip(idx[..., 0], 0, x - 1)
+            iy = jnp.clip(idx[..., 1], 0, y - 1)
+            iz = jnp.clip(idx[..., 2], 0, z - 1)
+            tile_inst = labels[ix, iy, iz]
+            if semantic_gate:
+                fg = (prob[..., 0] > sem_thr).astype(jnp.uint8)
+                tile_inst = jnp.where(fg > 0, tile_inst, 0)
+            return jax.lax.dynamic_update_slice(
+                inst, tile_inst, (o[0], o[1], o[2])
+            )
+
+        return jax.lax.fori_loop(0, chunk_origins.shape[0], body, inst)
+
+    def run(params, volume, mean, std):
+        import os as _os
+        import time as _time
+
+        timing = _os.environ.get("SKOOTS_PHASE_TIMING")
+        t0 = _time.time()
+        run.last_phase_s = {}
+
+        def mark(tag, *arrs):
+            nonlocal t0
+            for a in arrs:
+                a.block_until_ready()
+            t1 = _time.time()
+            run.last_phase_s[tag] = round(t1 - t0, 3)
+            if timing:
+                print(f"# phase {tag}: {t1 - t0:.2f}s", flush=True)
+            t0 = t1
+
+        mean = jnp.float32(mean)
+        std = jnp.float32(std)
+        vol = prep(jnp.asarray(volume))
+        skel_buf = jnp.zeros((px, py, pz), jnp.uint8)
+        for chunk in _balanced_chunks(origins, tiles_per_dispatch):
+            skel_buf = phase1_chunk(params, vol, skel_buf, jnp.asarray(chunk),
+                                    mean, std)
+        mark("1-forward", skel_buf)
+        skel_full = trim_skel(skel_buf)
+        del skel_buf
+        labels = stepped_cc(skel_full & 1, max_rounds=cc_rounds)
+        run.last_cc_rounds = getattr(stepped_cc, "last_rounds", None)
+        run.last_cc_converged = getattr(stepped_cc, "last_converged", None)
+        labels, count = compact(labels)
+        n = int(count)
+        run.last_count = n
+        if n < 2**16:
+            labels = to_u16(labels)
+        del skel_full
+        mark("2-cc", labels)
+
+        inst = jnp.zeros((x, y, z), labels.dtype)
+        for chunk in _balanced_chunks(a_origins, tiles_per_dispatch):
+            inst = assign_chunk(params, labels, vol, inst,
+                                jnp.asarray(chunk), mean, std)
+        mark("3-assign", inst)
+        return inst
+
+    return run
+
+
+def estimated_device_bytes(volume_shape, thrifty: bool = False) -> int:
+    """Peak HBM a whole-volume pipeline needs, conservatively.
+
+    Chunked (default): phase 1 holds the padded f32 volume (4 B/vox) +
+    bf16 vectors (6) + mask byte (1); phases 2-3 drop the volume but add
+    int32 labels (4), int32 instances (4) and the stepped-CC working set
+    (~2 int32 buffers). 24 B/vox covers the worse phase with headroom.
+
+    Thrifty (:func:`make_thrifty_pipeline`): uint8 volume (1) + mask (1) +
+    the CC peak of int32 labels + working set (~8) + slack for the
+    per-tile forward activations — ~13 B/vox."""
+    x, y, z = volume_shape
+    return int(x) * int(y) * int(z) * (13 if thrifty else 24)

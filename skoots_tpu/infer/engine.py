@@ -797,9 +797,11 @@ def run_inference(
 
         # ------------------------------------------------ engine delegation
         engine_impl = os.environ.get("SKOOTS_ENGINE", "") or engine_impl
-        if engine_impl not in ("auto", "host", "device"):
-            raise ValueError(f"engine_impl {engine_impl!r} not in auto/host/device")
-        use_device_engine = engine_impl == "device"
+        if engine_impl not in ("auto", "host", "device", "device-thrifty"):
+            raise ValueError(
+                f"engine_impl {engine_impl!r} not in auto/host/device/device-thrifty")
+        use_device_engine = engine_impl in ("device", "device-thrifty")
+        device_thrifty = engine_impl == "device-thrifty"
         # an EXPLICIT out_of_core=True pins the host-streaming engine (the
         # caller wants bounded-memory streaming semantics, e.g. bigvol proof)
         if (engine_impl == "auto" and not cache_hit
@@ -809,11 +811,17 @@ def run_inference(
             from skoots_tpu.infer.sharded import device_bytes_limit
 
             limit = device_bytes_limit()
-            use_device_engine = (
-                limit is not None and estimated_device_bytes((x, y, z)) <= limit
-            )
+            if limit is not None:
+                if estimated_device_bytes((x, y, z)) <= limit:
+                    use_device_engine = True
+                elif estimated_device_bytes((x, y, z), thrifty=True) <= limit:
+                    # the HBM-thrifty variant (native-dtype volume, no vector
+                    # buffer, compacted u16 labels) stretches the in-HBM
+                    # ceiling ~1.8x in volume
+                    use_device_engine = device_thrifty = True
         if use_device_engine:
             from skoots_tpu.infer.device_pipeline import make_chunked_pipeline
+            from skoots_tpu.infer.device_pipeline import make_thrifty_pipeline
 
             # explicit caller geometry wins; the reference-parity defaults
             # mean "unset" and get the measured-best on-device grid (the
@@ -827,12 +835,14 @@ def run_inference(
                           else tuple(min(a, d) for a, d in
                                      zip(assign_crop_size, (x, y, z))))
             log.info(
-                "engine: whole-volume device pipeline (volume fits HBM; "
+                "engine: whole-volume device pipeline%s (volume fits HBM; "
                 "crop=%s overlap=%s). --use-cached buffers are neither "
                 "written nor read on this path; SKOOTS_ENGINE=host restores "
-                "the streaming engine.", dev_crop, dev_ov,
+                "the streaming engine.",
+                " (thrifty)" if device_thrifty else "", dev_crop, dev_ov,
             )
-            run = make_chunked_pipeline(
+            builder = make_thrifty_pipeline if device_thrifty else make_chunked_pipeline
+            run = builder(
                 model, (x, y, z), crop=dev_crop, overlap=dev_ov,
                 assign_crop=dev_assign, vector_scale=vec_scale,
                 prob_threshold=prob_threshold,
@@ -844,8 +854,9 @@ def run_inference(
             )
             bench_start = time.time()
             instance_mask = np.asarray(run(params, np.asarray(volume), mean, std))
+            instance_mask = instance_mask.astype(np.int32, copy=False)
             dt = time.time() - bench_start
-            stats["engine"] = "device"
+            stats["engine"] = "device-thrifty" if device_thrifty else "device"
             stats["phase_s"] = dict(getattr(run, "last_phase_s", {}) or {})
             stats["e2e_s"] = round(dt, 3)
             try:

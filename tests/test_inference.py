@@ -158,6 +158,33 @@ class TestRunInference:
             vals, counts = np.unique(sel, return_counts=True)
             assert counts.max() / sel.size >= 0.99, (lab, vals, counts)
 
+    def test_thrifty_device_engine_matches_host(self, tiny_ckpt, tmp_path):
+        """engine_impl='device-thrifty' (native-dtype device volume, no
+        vector buffer — assign recomputes the forward — and compacted u16
+        labels) must agree with the host engine at instance level; output
+        labels come back already sequential."""
+        from skoots_tpu.infer import run_inference
+
+        image, _, _ = make_tubes(shape=(64, 64, 8), n_tubes=2)
+        path = str(tmp_path / "thrifty.tif")
+        imsave(path, image)
+        kw = dict(crop_size=(32, 32, 8), overlap=(0, 0, 0),
+                  assign_crop_size=(32, 32, 8), assign_overlap=(0, 0, 0))
+        m_host = run_inference(path, tiny_ckpt, engine_impl="host", **kw)
+        m_dev = run_inference(path, tiny_ckpt, engine_impl="device-thrifty",
+                              **kw)
+        assert m_dev.shape == m_host.shape and m_dev.dtype == np.int32
+        import json as _json
+
+        with open(os.path.splitext(path)[0] + "_skoots_phases.json") as f:
+            assert _json.load(f)["engine"] == "device-thrifty"
+        fg_agree = np.mean((m_host > 0) == (m_dev > 0))
+        assert fg_agree > 0.995, fg_agree
+        for lab in np.unique(m_host)[1:]:
+            sel = m_dev[m_host == lab]
+            vals, counts = np.unique(sel, return_counts=True)
+            assert counts.max() / sel.size >= 0.99, (lab, vals, counts)
+
     def test_pack_bits_matches_numpy_packbits(self):
         from skoots_tpu.infer.engine import _make_mask_decoder, _pack_bits
 
