@@ -112,6 +112,12 @@ def main() -> int:
                     help="'tubes' rasterizes bbox-local tube instances "
                          "(in-distribution for a tube-trained --ckpt)")
     ap.add_argument("--n-tubes", type=int, default=160)
+    ap.add_argument("--engine", default=None,
+                    help="engine_impl override (e.g. 'device-thrifty' runs "
+                         "the volume fully device-resident instead of "
+                         "host-streaming; out_of_core is then NOT pinned)")
+    ap.add_argument("--tag", default=None,
+                    help="write result_<tag>.json instead of result.json")
     args = ap.parse_args()
     shape = tuple(int(v) for v in args.shape.split(","))
 
@@ -201,7 +207,8 @@ def main() -> int:
                 int(v) for v in args.assign_crop.split(",")
             ),
             assign_overlap=(8, 8, 4),
-            out_of_core=True,
+            out_of_core=None if args.engine else True,
+            engine_impl=args.engine or "host",
             output_path=os.path.join(args.outdir, "instance.npy"),
         )
     wall = time.time() - t0
@@ -246,7 +253,9 @@ def main() -> int:
     from skoots_tpu.infer import engine as _eng
 
     result["phases"] = _eng.last_stats
-    with open(os.path.join(args.outdir, "result.json"), "w") as f:
+    result["engine"] = args.engine or "host"
+    name = f"result_{args.tag}.json" if args.tag else "result.json"
+    with open(os.path.join(args.outdir, name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     return 0

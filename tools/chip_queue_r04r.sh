@@ -44,4 +44,12 @@ timeout 14400 env SKOOTS_NO_TRACEMALLOC=1 python tools/bigvol_proof.py \
   > /tmp/bigvol_r04r.out 2>&1
 note "job 1r rc=$? (log /tmp/bigvol_r04r.out)"
 python -c "import json; print(json.load(open('runs/bigvol/result.json')))" 2>/dev/null | tee -a "$LOG"
+wait_healthy || exit 1
+note "job 2r: bigvol 1024^3 DEVICE-RESIDENT (thrifty pipeline, same phantom)"
+timeout 7200 env SKOOTS_NO_TRACEMALLOC=1 python tools/bigvol_proof.py \
+  --shape 1024,1024,1024 --phantom tubes --ckpt "$CKPT" \
+  --engine device-thrifty --tag thrifty \
+  > /tmp/bigvol_thrifty_r04r.out 2>&1
+note "job 2r rc=$? (log /tmp/bigvol_thrifty_r04r.out)"
+python -c "import json; print(json.load(open('runs/bigvol/result_thrifty.json')))" 2>/dev/null | tee -a "$LOG"
 note "queue r done"
