@@ -210,6 +210,9 @@ def make_train_step(
         sig, lr = host_consts(e)
         return jitted(state, batch, jnp.asarray(e, jnp.int32), rng, sig, lr)
 
+    # expose the pieces for perf attribution (tools/bench_train.py --split)
+    step.loss_fn = loss_fn
+    step.host_consts = host_consts
     return step
 
 

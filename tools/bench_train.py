@@ -79,6 +79,36 @@ def main() -> int:
         jax.block_until_ready(metrics["loss"])
         dt = (time.perf_counter() - t0) / iters
 
+        # step-time attribution: forward alone, loss (fwd + targets +
+        # tversky stack), grad (fwd+bwd); optimizer = step - grad
+        split = {}
+        try:
+            loss_fn = step.loss_fn
+            sig, _lr = step.host_consts(0)
+            rngs = {"droppath": rng}
+            ep = jnp.asarray(0, jnp.int32)
+
+            def timed(fn, *args, n=8):
+                out = fn(*args)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    out = fn(*args)
+                jax.block_until_ready(out)
+                return (time.perf_counter() - t0) / n
+
+            fwd = jax.jit(lambda p, img: model.apply(
+                p, img, deterministic=False, rngs=rngs))
+            split["fwd_s"] = round(timed(fwd, state.params, batch["image"]), 4)
+            lossj = jax.jit(lambda p, b: loss_fn(p, b, ep, sig, rngs)[0])
+            split["loss_s"] = round(timed(lossj, state.params, batch), 4)
+            gradj = jax.jit(lambda p, b: jax.grad(
+                lambda q: loss_fn(q, b, ep, sig, rngs)[0])(p))
+            split["grad_s"] = round(timed(gradj, state.params, batch), 4)
+            split["optimizer_s"] = round(max(dt - split["grad_s"], 0.0), 4)
+        except Exception as e:  # attribution is best-effort
+            split = {"error": str(e)[:200]}
+
         vox = batch_n * bx * by * bz
         try:
             fwd_flops = analytic_unext_flops(
@@ -93,6 +123,7 @@ def main() -> int:
             "vox_per_s": round(vox / dt, 1),
             "compile_s": round(compile_s, 1),
             "loss_finite": bool(jnp.isfinite(metrics["loss"])),
+            "split": split,
         }
         if fwd_flops:
             train_flops = 3.0 * fwd_flops  # fwd + ~2x in bwd
