@@ -287,11 +287,17 @@ def train_sparse(cfg: CfgNode, steps_per_epoch=None) -> TrainState:
             rng, sub = jax.random.split(rng)
             batch = augment(sub, {k: jnp.asarray(v) for k, v in host_batch.items()})
             state, metrics = step_fn(state, batch, jnp.asarray(e))
+            # keep metrics as DEVICE arrays here: a float() per metric per
+            # step is a blocking scalar round trip that serializes dispatch
+            # (measured ~6x epoch inflation through the relay vs the dense
+            # engine's once-per-epoch sync, train/engine.py:344-345)
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
+                agg.setdefault(k, []).append(v)
         log.info(
             "sparse epoch %d: %s (%.2fs)", e,
-            {k: float(np.mean(v)) for k, v in agg.items()}, time.time() - t0,
+            {k: float(np.mean([np.asarray(x) for x in v]))
+             for k, v in agg.items()},
+            time.time() - t0,
         )
         if e >= swa_start:
             if swa_params is None:
