@@ -252,7 +252,10 @@ def train_sparse(cfg: CfgNode, steps_per_epoch=None) -> TrainState:
     dataset = _Multi()
     bsz = cfg.TRAIN.TRAIN_BATCH_SIZE
     steps = steps_per_epoch or max(1, len(dataset) // bsz)
-    host_iter = batch_iterator(dataset, bsz, steps, cfg.TRAIN.SEED)
+    from skoots_tpu.train.data import prefetch_iterator
+
+    host_iter = prefetch_iterator(batch_iterator(dataset, bsz, steps,
+                                                 cfg.TRAIN.SEED))
     augment = make_sparse_augment(cfg, mean, std)
 
     rng = jax.random.PRNGKey(cfg.TRAIN.SEED)

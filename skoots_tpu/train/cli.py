@@ -104,6 +104,10 @@ def run_config(cfg_path: str, steps_per_epoch=None) -> None:
     if mesh is not None:
         log.info("mesh: %s over %d devices", dict(mesh.shape), data_axis * space)
 
+    from skoots_tpu.train.data import prefetch_iterator
+
+    host_iter = prefetch_iterator(host_iter)
+
     def data_iter(epoch: int):
         rng = jax.random.PRNGKey(cfg.TRAIN.SEED + epoch)
         for i, host_batch in enumerate(host_iter(epoch)):

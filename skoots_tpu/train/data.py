@@ -326,3 +326,39 @@ def batch_iterator(
             }
 
     return epoch_iter
+
+
+def prefetch_iterator(epoch_iter, depth: int = 2):
+    """Wrap a ``epoch_iter(epoch)`` factory so host-side batch production
+    (random crop sampling + stacking) runs on a background thread up to
+    ``depth`` batches ahead. The accelerator's async dispatch already
+    pipelines the DEVICE work; this hides the HOST work behind it (the
+    reference leans on torch DataLoader workers for the same overlap,
+    engine.py:200-209)."""
+    import queue
+    import threading
+
+    def wrapped(epoch: int):
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        _END = object()
+
+        def produce():
+            try:
+                for item in epoch_iter(epoch):
+                    q.put(item)
+                q.put(_END)
+            except BaseException as e:  # surface errors on the consumer side
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join(timeout=5)
+
+    return wrapped
