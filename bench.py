@@ -218,13 +218,27 @@ def main() -> int:
             break
         time.sleep(min(15.0, max(0.0, deadline - time.time())))
     if not healthy:
+        # Embed the most recent committed on-chip measurement (clearly
+        # labeled stale) so an outage round still leaves real evidence.
+        last = None
+        for cand in ("runs/bench_r04e.json", "runs/bench_r04j.json",
+                     "runs/bench_r04c.json", "runs/bench_r04_local.json"):
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)), cand)
+            if os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        last = {"path": cand, "record": json.load(f)}
+                    break
+                except Exception:
+                    pass
         print(json.dumps({
             "metric": "e2e_seg_throughput", "value": 0, "unit": "vox/s",
             "vs_baseline": 0, "chip_unavailable": True,
             "detail": {"probe_timeout_s": probe_timeout, "probes": probes,
                        "probe_budget_s": probe_budget,
                        "note": "device backend init did not complete; "
-                               "accelerator pool unreachable"},
+                               "accelerator pool unreachable",
+                       "last_measured_stale": last},
         }))
         return 1
 
