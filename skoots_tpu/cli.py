@@ -61,7 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the forward on device per assign tile. Default auto: "
                         "recompute for out-of-core volumes")
     p.add_argument("--skeletonize-train-data", type=str, default=None,
-                   help="directory of *.labels.tif to precompute GT skeletons for")
+                   help="directory of *<mask-filter>.tif to precompute GT "
+                        "skeletons for")
+    p.add_argument("--mask-filter", dest="mask_filter", default=".labels",
+                   help="suffix distinguishing mask files from images "
+                        "(reference __main__.py:55-57): skeletonization "
+                        "globs *<mask-filter>.tif; --image DIR skips them")
     p.add_argument("--downscaleXY", type=float, default=1.0)
     p.add_argument("--downscaleZ", type=float, default=1.0)
     p.add_argument("--skeletonize-method", dest="skeletonize_method",
@@ -123,6 +128,7 @@ def main(argv=None) -> int:
 
         create_gt_skeletons(
             args.skeletonize_train_data,
+            mask_suffix=args.mask_filter + ".tif",
             scale=(1.0 / args.downscaleXY, 1.0 / args.downscaleXY, 1.0 / args.downscaleZ),
             method=args.skeletonize_method,
         )
@@ -146,7 +152,7 @@ def main(argv=None) -> int:
 
     if os.path.isdir(args.image):
         files = sorted(glob.glob(os.path.join(args.image, "*.tif")))
-        files = [f for f in files if ".labels." not in f]
+        files = [f for f in files if args.mask_filter + "." not in f]
     else:
         files = [args.image]
 

@@ -460,6 +460,33 @@ class TestCLIDilationKnobs:
         a = p.parse_args(["--dilate-3d", "0", "--dilate-2d", "1"])
         assert (a.dilation_3d, a.dilation_2d) == (0, 1)
 
+
+class TestMaskFilterFlag:
+    def test_custom_mask_filter_globs_and_skips(self, tmp_path):
+        """--mask-filter (reference __main__.py:55-57): skeletonization
+        globs *<filter>.tif, and --image DIR inference skips those files."""
+        import numpy as np
+
+        from skoots_tpu.cli import build_parser
+        from skoots_tpu.train.generate_skeletons import create_gt_skeletons
+        from skoots_tpu.utils.io import imsave
+
+        p = build_parser()
+        assert p.parse_args([]).mask_filter == ".labels"
+
+        mask = np.zeros((24, 24, 8), np.int32)
+        mask[4:12, 4:12, 2:6] = 1
+        imsave(str(tmp_path / "a.gt.tif"), mask)
+        imsave(str(tmp_path / "a.labels.tif"), mask)  # must be ignored
+        create_gt_skeletons(str(tmp_path), mask_suffix=".gt.tif")
+        assert (tmp_path / "a.skeletons.npz").exists()
+        # the .labels.tif was not skeletonized under the custom filter
+        import glob as g
+
+        assert len(g.glob(str(tmp_path / "*.skeletons.npz"))) == 1
+
+
+class TestDilationBehavior:
     def test_dilation_zero_keeps_skeletons_separate(self, tiny_ckpt, tube_tif):
         """With no dilation the skeleton map stays exactly the thresholded
         prediction; with the default stack it is a superset."""
