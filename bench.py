@@ -246,6 +246,7 @@ def _run(shape, crop, overlap, repeats, deadline=None, hb=lambda *a, **k: None) 
         ),
         cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "128")),
         cc_jumps_per_round=int(os.environ.get("BENCH_CC_JUMPS", "1")),
+        cc_scans_per_round=int(os.environ.get("BENCH_CC_SCANS", "0")),
         tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "16")),
     )
 

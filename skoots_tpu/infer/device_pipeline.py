@@ -214,6 +214,7 @@ def make_chunked_pipeline(
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     cc_jumps_per_round: int = 1,
+    cc_scans_per_round: int = 0,
     cc_impl: str = "auto",
     tiles_per_dispatch: int = 16,
     dtype=jnp.bfloat16,
@@ -307,6 +308,7 @@ def make_chunked_pipeline(
         (x, y, z), rounds_per_dispatch=1,
         propagates_per_round=cc_propagates_per_round,
         jumps_per_round=cc_jumps_per_round,
+        scans_per_round=cc_scans_per_round,
     )
 
     # sparse point-cloud CC (ops/flood_fill.py::label_components_sparse)
@@ -438,6 +440,7 @@ def make_thrifty_pipeline(
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     cc_jumps_per_round: int = 1,
+    cc_scans_per_round: int = 0,
     tiles_per_dispatch: int = 16,
 ):
     """HBM-thrifty whole-volume pipeline: ~11 bytes/voxel peak instead of
@@ -523,6 +526,7 @@ def make_thrifty_pipeline(
         (x, y, z), rounds_per_dispatch=1,
         propagates_per_round=cc_propagates_per_round,
         jumps_per_round=cc_jumps_per_round,
+        scans_per_round=cc_scans_per_round,
     )
     compact = jax.jit(_compact_labels, donate_argnums=(0,))
     to_u16 = jax.jit(lambda v: v.astype(jnp.uint16), donate_argnums=(0,))

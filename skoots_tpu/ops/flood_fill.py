@@ -264,12 +264,42 @@ def label_components_sparse(
     return out.reshape(x, y, z), ok
 
 
+def _axis_run_max(labels: jax.Array, fg: jax.Array, axis: int) -> jax.Array:
+    """Spread each contiguous foreground RUN's max label along ``axis`` —
+    UNBOUNDED reach in one log-depth pass.
+
+    A 1-hop max-propagation moves labels one voxel per O(vox) pass; for
+    run-shaped structures (skeleton tubes lie along axes for long
+    stretches) that is the worst possible schedule. A segmented max scan
+    (forward + reverse ``associative_scan`` with background voxels as
+    segment resets) gives every voxel the max label of its entire
+    contiguous run in ~log2(extent) fused passes. Runs are 6-connected
+    paths, so this can never bridge background or merge distinct
+    components — it only accelerates convergence toward the same fixpoint.
+    """
+    reset = jnp.logical_not(fg)
+
+    def combine(a, b):
+        # classic segmented-scan lift of max: associative for any
+        # associative op
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb, vb, jnp.maximum(va, vb)), ra | rb
+
+    fwd, _ = jax.lax.associative_scan(combine, (labels, reset), axis=axis)
+    rev, _ = jax.lax.associative_scan(
+        combine, (labels, reset), axis=axis, reverse=True
+    )
+    return jnp.where(fg, jnp.maximum(fwd, rev), 0)
+
+
 def make_label_components_stepped(
     shape: Tuple[int, int, int],
     rounds_per_dispatch: int = 4,
     connectivity: int = 26,
     propagates_per_round: int = 1,
     jumps_per_round: int = 2,
+    scans_per_round: int = 0,
     propagate_impl: str = "auto",
 ):
     """Connected components split across dispatches.
@@ -285,7 +315,14 @@ def make_label_components_stepped(
     streaming (separable reduce_window, ~12 ms per pass at 512^3 on v5e)
     while a jump is a random HBM gather (~2 s at 512^3 — XLA TPU gather is
     ~67M elem/s), so a jump costs ~165 propagates; propagate-heavy
-    schedules win except for enormous component diameters. Each propagate
+    schedules win except for enormous component diameters.
+
+    ``scans_per_round`` prepends that many axis-sweep rounds (a segmented
+    max scan along each of the three axes, :func:`_axis_run_max`): each
+    sweep spreads labels over WHOLE contiguous runs at log-depth cost, so
+    tube-shaped components converge in a couple of scan+hop alternations
+    instead of O(length) hop passes. The ``SKOOTS_CC_SCANS`` env var
+    overrides it for every pipeline. Each propagate
     is still a single 26/6-conn hop — components never bridge background
     gaps.
 
@@ -303,6 +340,7 @@ def make_label_components_stepped(
     # every pipeline without code changes, e.g. if a libtpu/Mosaic update
     # rejects the fused kernel on some chip generation
     propagate_impl = os.environ.get("SKOOTS_PROPAGATE_IMPL", propagate_impl)
+    scans_per_round = int(os.environ.get("SKOOTS_CC_SCANS", scans_per_round))
     x, y, z = shape
     from skoots_tpu.kernels.propagate import (
         propagate_eligible,
@@ -351,6 +389,9 @@ def make_label_components_stepped(
 
         def one_round(lab):
             new = lab
+            for _ in range(scans_per_round):
+                for ax in range(3):
+                    new = _axis_run_max(new, fg, ax)
             if use_pallas:
                 interp = jax.default_backend() != "tpu"
                 n_calls, rem = divmod(propagates_per_round, pallas_q)
