@@ -160,6 +160,83 @@ def make_blobs(
     return image, labels, skeletons
 
 
+def apply_em_realism(
+    image: np.ndarray,
+    labels: np.ndarray,
+    seed: int = 0,
+    texture: float = 0.35,
+    gradient: float = 0.25,
+    distractors: int = 10,
+    distractor_contrast: float = 0.55,
+    psf_sigma: Tuple[float, float, float] = (0.8, 0.8, 0.4),
+    noise: float = 6.0,
+) -> np.ndarray:
+    """EM-plausible degradation of a clean phantom image.
+
+    The clean generators paint uniform-intensity instances over uniform
+    background + white noise — far easier than real EM, whose organelles
+    are textured, unevenly illuminated, surrounded by membranes of similar
+    contrast, and blurred anisotropically by the imaging PSF. This applies,
+    in order: band-limited multiplicative texture (stronger inside
+    instances), a smooth illumination gradient along a random direction,
+    membrane-like distractor sheets in the BACKGROUND at
+    ``distractor_contrast`` of the fg-bg contrast (structures a naive
+    intensity threshold would swallow), an anisotropic gaussian PSF, and
+    fine noise. Labels are untouched — realism degrades the image, not the
+    ground truth. Returns the degraded u8 image.
+    """
+    from scipy import ndimage as ndi
+
+    rng = np.random.default_rng(seed)
+    img = np.asarray(image, np.float32).copy()
+    labels = np.asarray(labels)
+    fg = labels > 0
+    x, y, z = img.shape
+
+    # 1. band-limited texture, multiplicative (EM organelle interiors are
+    # granular; background cytosol less so)
+    t = ndi.gaussian_filter(
+        rng.normal(0, 1, img.shape).astype(np.float32), (3.0, 3.0, 1.5)
+    )
+    t /= max(float(t.std()), 1e-6)
+    img = img * (1.0 + np.where(fg, 0.5 * texture, 0.2 * texture) * t)
+
+    # 2. smooth illumination gradient along a random direction
+    d = rng.normal(size=3)
+    d /= np.linalg.norm(d) + 1e-9
+    xx, yy, zz = np.meshgrid(
+        np.arange(x, dtype=np.float32), np.arange(y, dtype=np.float32),
+        np.arange(z, dtype=np.float32), indexing="ij",
+    )
+    proj = xx * d[0] + yy * d[1] + zz * d[2]
+    proj = (proj - proj.min()) / (np.ptp(proj) + 1e-6) - 0.5
+    img = img * (1.0 + gradient * proj)
+
+    # 3. membrane-like distractor sheets (background only): gently curved
+    # thin surfaces at a contrast between bg and fg
+    fg_mean = float(img[fg].mean()) if fg.any() else 160.0
+    bg_mean = float(img[~fg].mean()) if (~fg).any() else 40.0
+    memb_val = bg_mean + distractor_contrast * (fg_mean - bg_mean)
+    for _ in range(distractors):
+        n = rng.normal(size=3)
+        n[2] *= 0.5  # sheets mostly cut across the thin axis shallowly
+        n /= np.linalg.norm(n) + 1e-9
+        amp = rng.uniform(2.0, 8.0)
+        wx, wy = rng.uniform(0.02, 0.08, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        s = (xx * n[0] + yy * n[1] + zz * n[2]
+             + amp * np.sin(wx * xx + wy * yy + phase))
+        c = rng.uniform(s.min(), s.max())
+        h = rng.uniform(0.8, 1.6)
+        sheet = (np.abs(s - c) < h) & ~fg
+        img[sheet] = memb_val
+
+    # 4. anisotropic PSF + 5. fine noise
+    img = ndi.gaussian_filter(img, psf_sigma)
+    img = img + rng.normal(0, noise, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def tube_segments(
     shape: Tuple[int, int, int],
     n_tubes: int,

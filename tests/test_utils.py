@@ -129,3 +129,35 @@ class TestDevicePhantom:
                 b = p0[j] * (1 - t) + p1[j] * t
                 d = np.linalg.norm(a[:, None] - b[None, :], axis=-1).min()
                 assert d >= 14.0 - 1e-3
+
+
+class TestEMRealism:
+    """apply_em_realism degrades the image, never the ground truth."""
+
+    def test_properties(self):
+        from skoots_tpu.utils.synthetic import apply_em_realism, make_tubes
+
+        img, labels, _ = make_tubes(shape=(64, 64, 16), n_tubes=3, seed=3)
+        hard = apply_em_realism(img, labels, seed=9)
+        assert hard.shape == img.shape and hard.dtype == np.uint8
+        fg = labels > 0
+        # instance contrast survives the degradation stack
+        assert hard[fg].mean() - hard[~fg].mean() > 40
+        # but the image is genuinely harder: background is no longer
+        # near-uniform (distractor sheets + texture + gradient)
+        assert hard[~fg].std() > np.asarray(img)[~fg].std() + 2
+        # distractor sheets put near-foreground intensities in the bg
+        memb = (hard > 100) & ~fg
+        assert memb.mean() > 0.002
+
+    def test_labels_untouched_and_deterministic(self):
+        from skoots_tpu.utils.synthetic import apply_em_realism, make_tubes
+
+        img, labels, _ = make_tubes(shape=(48, 48, 12), n_tubes=2, seed=5)
+        before = labels.copy()
+        a = apply_em_realism(img, labels, seed=1)
+        b = apply_em_realism(img, labels, seed=1)
+        np.testing.assert_array_equal(labels, before)
+        np.testing.assert_array_equal(a, b)
+        c = apply_em_realism(img, labels, seed=2)
+        assert (a != c).any()

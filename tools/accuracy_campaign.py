@@ -60,6 +60,20 @@ INFER_KNOBS: dict = {}  # set in main(): {} (auto) or MANUAL_KNOBS
 
 
 def _phantom(scenario: str, seed: int):
+    """Scenario phantom; CAMPAIGN_REALISM=0 restores the clean round-4
+    generator (uniform intensities + white noise). Default applies the
+    EM-realism stack (texture, illumination gradient, membrane distractors,
+    anisotropic PSF — utils.synthetic.apply_em_realism, VERDICT r4 item 6)
+    to the IMAGE only; labels/skeletons stay exact."""
+    img, labels, skels = _phantom_clean(scenario, seed)
+    if os.environ.get("CAMPAIGN_REALISM", "1") != "0":
+        from skoots_tpu.utils.synthetic import apply_em_realism
+
+        img = apply_em_realism(img, labels, seed=seed + 7)
+    return img, labels, skels
+
+
+def _phantom_clean(scenario: str, seed: int):
     from skoots_tpu.utils.synthetic import make_blobs, make_tubes
 
     if scenario == "separated":
