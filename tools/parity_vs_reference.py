@@ -213,6 +213,14 @@ def main() -> int:
                     help="skip the default-mode engine run (reuse prior "
                          "default_vs_gt numbers when iterating on strict "
                          "parity)")
+    ap.add_argument("--volume", choices=("tubes", "blobs"), default="tubes",
+                    help="held-out phantom: 'tubes' (seed-777 make_tubes, "
+                         "the SURVEY §7.3 parity volume) or 'blobs' (the "
+                         "accuracy campaign's blobs val phantom, seed 999) "
+                         "— the latter answers VERDICT r4 item 4: does the "
+                         "REFERENCE pipeline merge the same touching blobs "
+                         "our engine merges (method-level limit), or "
+                         "separate them (implementation defect)?")
     args = ap.parse_args()
 
     if args.cpu:
@@ -237,8 +245,14 @@ def main() -> int:
     vec_scale = tuple(float(v) for v in cfg.SKOOTS.VECTOR_SCALING)
 
     # held-out volume, same generator regime as training (seeds 100-102/999)
-    img, gt_labels, _ = make_tubes(shape=(128, 128, 32), n_tubes=5, radius=5,
-                                   seed=777, min_separation=16.0)
+    if args.volume == "blobs":
+        from tools.accuracy_campaign import _phantom
+
+        img, gt_labels, _ = _phantom("blobs", seed=999)
+    else:
+        img, gt_labels, _ = make_tubes(shape=(128, 128, 32), n_tubes=5,
+                                       radius=5, seed=777,
+                                       min_separation=16.0)
 
     # ---- twin with the trained weights
     twin = _build_torch_twin(
@@ -346,6 +360,16 @@ def main() -> int:
                                         our_mask[interior])
     strict_gt_min, strict_gt_mean, _, _, _ = match(gt_labels[interior],
                                                    strict_mask[interior])
+    # reference pipeline vs GROUND TRUTH, per instance: which gt ids the
+    # reference-faithful pipeline merges/drops (VERDICT r4 item 4 — the
+    # blobs 17/19 question needs the reference's own per-instance record)
+    ref_gt_min, ref_gt_mean, _, n_ref_pred, ref_gt_per = match(
+        gt_labels[interior], ref_mask[interior])
+    merged_groups: dict = {}
+    for row in ref_gt_per:
+        if row["our_id"] is not None:
+            merged_groups.setdefault(row["our_id"], []).append(row["ref_id"])
+    ref_merges = [v for v in merged_groups.values() if len(v) > 1]
     ok = bool(min_iou >= args.iou_bar and n_ref == n_ours and n_ref > 0)
 
     result = {
@@ -364,13 +388,24 @@ def main() -> int:
             "min_iou": round(strict_gt_min, 4),
             "mean_iou": round(strict_gt_mean, 4),
         },
+        "reference_vs_gt": {
+            "min_iou": round(ref_gt_min, 4),
+            "mean_iou": round(ref_gt_mean, 4),
+            "pred_instances": int(n_ref_pred),
+            "merged_gt_groups": ref_merges,
+            "per_instance": ref_gt_per,
+        },
         "fwd_abs_delta_median": round(fwd_med, 5),
         "fwd_abs_delta_p99": round(fwd_p99, 5),
         "ref_pipeline_s": round(ref_s, 1),
         "our_pipeline_s": None if args.skip_default else round(our_s, 1),
         "strict_pipeline_s": round(strict_s, 1),
         "checkpoint": args.ckpt,
-        "volume": "make_tubes(128,128,32,n=5,r=5,seed=777,min_sep=16)",
+        "volume": (
+            "accuracy-campaign blobs val phantom (seed 999)"
+            if args.volume == "blobs"
+            else "make_tubes(128,128,32,n=5,r=5,seed=777,min_sep=16)"
+        ),
         "geometry": {"crop": crop, "overlap": ov},
         "note": "parity = reference-faithful torch pipeline vs our engine "
                 "in strict reference mode (semantic_gate=False, fixed "
