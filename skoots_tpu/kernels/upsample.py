@@ -203,6 +203,49 @@ def _xla_upsample(x: jax.Array) -> jax.Array:
     return y.astype(dt)
 
 
+def _up_matrix(n: int) -> jnp.ndarray:
+    """[2n, n+2] interleave+blend operator against an edge-padded axis:
+    out[2i] = 0.25*pad[i] + 0.75*pad[i+1]; out[2i+1] = 0.75*pad[i+1] +
+    0.25*pad[i+2] — exactly the half-pixel-center cascade of
+    ``_upsample2x_axis`` expressed as a (2-nonzeros-per-row) matrix."""
+    import numpy as np
+
+    w = np.zeros((2 * n, n + 2), np.float32)
+    idx = np.arange(n)
+    w[2 * idx, idx] = 0.25
+    w[2 * idx, idx + 1] = 0.75
+    w[2 * idx + 1, idx + 1] = 0.75
+    w[2 * idx + 1, idx + 2] = 0.25
+    return jnp.asarray(w)
+
+
+def _mxu_upsample(x: jax.Array) -> jax.Array:
+    """2x trilinear upsample as THREE dot_generals on the MXU.
+
+    The VPU-relayout cost of stack+reshape interleaves is the measured
+    bottleneck of both the XLA composition (~45 ms per 256^2x96 tile) and
+    the Pallas kernel (~24x off roofline, runs/bench_upsample.json: tiny
+    8x8x8 blocks forced by the z-stack's 2->8 sublane pad). A matmul with
+    the 2-nonzeros-per-row interleave matrix does blend AND interleave in
+    one MXU pass per axis — no relayouts at all. The extra multiplies by
+    zero are free relative to HBM traffic: ~0.2 TFLOP-equivalent for the
+    full decoder stage, ~1 ms-class on the MXU vs ~26 ms for the Pallas
+    VPU cascade. HIGHEST precision keeps the f32 cascade math (each
+    output row sums exactly two products, like the explicit 0.75/0.25
+    blend).
+    """
+    dt = x.dtype
+    y = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode="edge"
+    ).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    _, xs, ys, zs, _ = x.shape
+    y = jnp.einsum("px,bxyzc->bpyzc", _up_matrix(xs), y, precision=hp)
+    y = jnp.einsum("qy,bxyzc->bxqzc", _up_matrix(ys), y, precision=hp)
+    y = jnp.einsum("rz,bxyzc->bxyrc", _up_matrix(zs), y, precision=hp)
+    return y.astype(dt)
+
+
 def upsample2x_eligible(x: jax.Array) -> bool:
     if x.ndim != 5 or x.dtype not in (jnp.bfloat16, jnp.float32):
         return False
@@ -229,9 +272,19 @@ def _pallas_impl(x: jax.Array, interpret=False) -> jax.Array:
 
 @jax.custom_vjp
 def upsample2x_trilinear(x):
-    """2x trilinear upsample of ``[B, X, Y, Z, C]`` via the Pallas kernel
-    (XLA-composition backward; the op is linear so the transpose is exact)."""
+    """2x trilinear upsample of ``[B, X, Y, Z, C]``.
+
+    Implementation dispatch (``SKOOTS_UPSAMPLE_IMPL`` = auto|mxu|pallas|
+    xla): 'auto' on TPU keeps the measured winner (the Pallas fused
+    cascade, runs/bench_upsample.json); 'mxu' opts into the
+    interleave-matmul re-expression until its on-chip A/B lands. Backward
+    is the XLA-composition transpose in every case (the op is linear, so
+    the transpose is exact)."""
     impl = os.environ.get("SKOOTS_UPSAMPLE_IMPL", "auto")
+    if impl == "mxu":
+        # opt-in until the on-chip A/B (tools/bench_upsample.py) lands;
+        # dispatch decisions here are measurements, not hopes
+        return _mxu_upsample(x)
     if impl != "xla" and upsample2x_eligible(x) and (
         impl == "pallas" or jax.default_backend() == "tpu"
     ):

@@ -105,3 +105,34 @@ class TestPallasUpsample:
             np.asarray(vjp_fused(ct)[0]), np.asarray(vjp_ref(ct)[0]),
             atol=2e-6,
         )
+
+
+class TestMXUUpsample:
+    """The interleave-matmul re-expression (kernels/upsample._mxu_upsample):
+    blend + interleave per axis as one dot_general with a 2-nonzeros-per-row
+    matrix — MXU work instead of VPU relayouts. Opt-in until its on-chip
+    A/B lands (SKOOTS_UPSAMPLE_IMPL=mxu)."""
+
+    def test_matches_xla_composition_exactly(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from skoots_tpu.kernels.upsample import _mxu_upsample, _xla_upsample
+
+        for shape in [(1, 16, 12, 8, 8), (2, 8, 8, 4, 16), (1, 5, 7, 3, 4)]:
+            x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            a = np.asarray(jax.jit(_mxu_upsample)(x))
+            b = np.asarray(_xla_upsample(x))
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_env_opt_in(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from skoots_tpu.kernels import upsample as up
+
+        monkeypatch.setenv("SKOOTS_UPSAMPLE_IMPL", "mxu")
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 4, 8)).astype(np.float32))
+        a = np.asarray(up.upsample2x_trilinear(x))
+        b = np.asarray(up._xla_upsample(x))
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -71,6 +71,7 @@ def main() -> int:
     enable_compilation_cache()
 
     from skoots_tpu.kernels.upsample import (
+        _mxu_upsample,
         _pallas_impl,
         _pick_blocks,
         _xla_upsample,
@@ -88,13 +89,16 @@ def main() -> int:
 
         t_xla, c_xla = _timed(_xla_upsample, x, args.iters)
         t_pal, c_pal = _timed(lambda v: _pallas_impl(v), x, args.iters)
+        t_mxu, c_mxu = _timed(_mxu_upsample, x, args.iters)
 
         # value check on-device (same inputs, f32 compare)
         import numpy as np
 
         a = np.asarray(_pallas_impl(x), np.float32)
         b = np.asarray(_xla_upsample(x), np.float32)
+        m = np.asarray(_mxu_upsample(x), np.float32)
         max_err = float(np.max(np.abs(a - b)))
+        max_err_mxu = float(np.max(np.abs(m - b)))
 
         row = {
             "shape": list(shape),
@@ -102,11 +106,16 @@ def main() -> int:
             "blocks": list(blocks) if blocks else None,
             "xla_ms": round(t_xla * 1e3, 3),
             "pallas_ms": round(t_pal * 1e3, 3),
+            "mxu_ms": round(t_mxu * 1e3, 3),
             "speedup": round(t_xla / t_pal, 2),
+            "speedup_mxu": round(t_xla / t_mxu, 2),
             "roofline_ms": round(roofline_ms, 3),
             "pallas_vs_roofline": round(t_pal * 1e3 / roofline_ms, 2),
-            "compile_s": {"xla": round(c_xla, 1), "pallas": round(c_pal, 1)},
+            "mxu_vs_roofline": round(t_mxu * 1e3 / roofline_ms, 2),
+            "compile_s": {"xla": round(c_xla, 1), "pallas": round(c_pal, 1),
+                          "mxu": round(c_mxu, 1)},
             "max_abs_err": max_err,
+            "max_abs_err_mxu": max_err_mxu,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
