@@ -267,6 +267,7 @@ def make_sharded_pipeline(
     embed_iterations: int = 10,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
+    cc_scans_per_round: int = 0,
     label_gather: str = "ring",
     walk_gather: str = "auto",
     semantic_threshold: float | None = None,
@@ -366,6 +367,21 @@ def make_sharded_pipeline(
     def _cc_round(labels):
         fg = labels > 0
 
+        # axis-sweep rounds first (segmented max scans, ops.flood_fill):
+        # under GSPMD the scan along the sharded X axis partitions into
+        # per-shard scans + an ICI carry exchange — unbounded run reach
+        # without label replication. SKOOTS_CC_SCANS overrides, like the
+        # single-device stepped CC.
+        import os as _os
+
+        from skoots_tpu.ops.flood_fill import _axis_run_max
+
+        n_scans = int(_os.environ.get("SKOOTS_CC_SCANS", cc_scans_per_round))
+        orig = labels
+        for _ in range(n_scans):
+            for ax in range(3):
+                labels = _axis_run_max(labels, fg, ax)
+
         def propagate(lab):
             # separable 26-conn max (3x 1D reduce_windows), masked to fg
             for ax in range(3):
@@ -381,7 +397,9 @@ def make_sharded_pipeline(
         new = labels
         for _ in range(cc_propagates_per_round):
             new = propagate(new)
-        return new, jnp.any(new != labels)
+        # convergence is judged against the PRE-scan labels: a round whose
+        # only progress came from the scans still counts as changed
+        return new, jnp.any(new != orig)
 
     cc_init = jax.jit(_cc_init, in_shardings=vol3, out_shardings=vol3)
     cc_round = jax.jit(_cc_round, in_shardings=vol3,

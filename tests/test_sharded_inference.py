@@ -369,3 +369,33 @@ class TestResolveSpatialShards:
             "skoots_tpu.infer.sharded.device_bytes_limit", lambda: 1024)
         with pytest.raises(ValueError, match="host-streaming"):
             eng.run_inference(vol, ckpt, spatial_shards=8)
+
+
+class TestShardedScanCC:
+    def test_scan_rounds_match_and_converge_faster(self, setup):
+        """cc_scans_per_round on the space-sharded CC: same partition as
+        the scan-free schedule, in no more dispatches (tube runs collapse
+        to one scan)."""
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        model, params, mesh = setup
+        from skoots_tpu.infer.sharded import make_sharded_pipeline
+
+        shape = (32, 16, 8)
+        x = np.zeros(shape, np.uint8)
+        x[2:30, 4:6, 2:4] = 1   # tube crossing every shard seam
+        x[:, 10:12, 5:7] = 1    # full-extent X run
+        base = make_sharded_pipeline(model, mesh, shape,
+                                     cc_propagates_per_round=4)
+        fast = make_sharded_pipeline(model, mesh, shape,
+                                     cc_propagates_per_round=4,
+                                     cc_scans_per_round=1)
+        skel = jax.device_put(jnp.asarray(x),
+                              NamedSharding(mesh, P("space")))
+        a = np.asarray(base.cc(skel))
+        b = np.asarray(fast.cc(skel))
+        pair = a.astype(np.int64) * (1 << 32) + b
+        assert ((a == 0) == (b == 0)).all()
+        assert len(np.unique(pair)) == len(np.unique(a)) == len(np.unique(b))
+        assert len(np.unique(a)) == 3  # bg + 2 components
