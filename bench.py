@@ -244,6 +244,7 @@ def _run(shape, crop, overlap, repeats, deadline=None, hb=lambda *a, **k: None) 
         embed_exit_fraction=(
             None if os.environ.get("BENCH_EXACT_WALK") else 1e-3
         ),
+        embed_exit_cycle=bool(int(os.environ.get("BENCH_EXIT_CYCLE", "0"))),
         cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "128")),
         cc_jumps_per_round=int(os.environ.get("BENCH_CC_JUMPS", "1")),
         cc_scans_per_round=int(os.environ.get("BENCH_CC_SCANS", "0")),

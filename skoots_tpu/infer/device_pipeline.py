@@ -46,6 +46,7 @@ def make_device_pipeline(
     prob_threshold: float = 0.8,
     embed_iterations: int = 10,
     embed_exit_fraction: float | None = None,
+    embed_exit_cycle: bool = False,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     cc_jumps_per_round: int = 1,
@@ -150,7 +151,8 @@ def make_device_pipeline(
                 vec_full, (o[0], o[1], o[2], 0), (*crop, 3)
             ).astype(jnp.float32)
             emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
-                                      exit_fraction=embed_exit_fraction)[0]
+                                      exit_fraction=embed_exit_fraction,
+                                      exit_cycle=embed_exit_cycle)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)
@@ -207,6 +209,7 @@ def make_chunked_pipeline(
     embed_iterations: int = 10,
     embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
+    embed_exit_cycle: bool = False,
     dilation_3d: int = 1,
     dilation_2d: int = 2,
     semantic_threshold: float | None = None,
@@ -352,7 +355,8 @@ def make_chunked_pipeline(
             ).astype(jnp.float32)
             emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
                                       decay=embed_decay,
-                                      exit_fraction=embed_exit_fraction)[0]
+                                      exit_fraction=embed_exit_fraction,
+                                      exit_cycle=embed_exit_cycle)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)
@@ -433,6 +437,7 @@ def make_thrifty_pipeline(
     embed_iterations: int = 10,
     embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
+    embed_exit_cycle: bool = False,
     dilation_3d: int = 1,
     dilation_2d: int = 2,
     semantic_threshold: float | None = None,
@@ -554,7 +559,8 @@ def make_thrifty_pipeline(
             vec = (vec * keep).astype(jnp.float16)  # match the stored-field path
             emb = vector_to_embedding(scale_arr, vec[None].astype(jnp.float32),
                                       n=embed_iterations, decay=embed_decay,
-                                      exit_fraction=embed_exit_fraction)[0]
+                                      exit_fraction=embed_exit_fraction,
+                                      exit_cycle=embed_exit_cycle)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)

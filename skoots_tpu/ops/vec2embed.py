@@ -67,16 +67,28 @@ def _vec2embed(scale: jax.Array, vector: jax.Array, n: int, decay: float) -> jax
     return embed
 
 
-@partial(jax.jit, static_argnames=("n", "decay", "exit_fraction"))
+@partial(jax.jit,
+         static_argnames=("n", "decay", "exit_fraction", "exit_cycle"))
 def _vec2embed_early(scale: jax.Array, vector: jax.Array, n: int,
-                     decay: float, exit_fraction: float) -> jax.Array:
+                     decay: float, exit_fraction: float,
+                     exit_cycle: bool = False) -> jax.Array:
     """N-step walk with convergence early exit: stop when the fraction of
     voxels whose ROUNDED embedded index still moves drops below
     ``exit_fraction``. Near-exact for inference fields (thresholding zeroes
     background vectors and on-skeleton vectors vanish, so stable indices
     imply near-zero deltas); the walk typically dries up well before N=10
     (reference eval.py:271-273) and each skipped step saves a whole-volume
-    gather."""
+    gather.
+
+    ``exit_cycle`` additionally treats voxels in a PERIOD-2 index cycle as
+    converged. Measured on trained fields (runs/bench_assign.json): on-tube
+    voxels oscillate between two adjacent indices around the skeleton
+    forever (the moving fraction pins at the foreground fraction, so the
+    plain exit never fires) while their assigned label is identical from
+    step ~3 on — both cycle points sit inside the same labeled skeleton
+    component. Cycle-exit keeps the label result while skipping the dead
+    steps; plain index-move exit remains the default.
+    """
     spatial = vector.shape[1:-1]
     d = vector.shape[-1]
     b = vector.shape[0]
@@ -103,21 +115,25 @@ def _vec2embed_early(scale: jax.Array, vector: jax.Array, n: int,
         return jnp.sum(idx * strides, axis=-1).reshape(b, -1)
 
     def cond(carry):
-        i, _, _, _, moving = carry
+        i, _, _, _, _, moving = carry
         return (i < n - 1) & (moving > min_moving)
 
     def body(carry):
-        i, embed, prev_idx, step, _ = carry
+        i, embed, prev_idx, prev2_idx, step, _ = carry
         step = step * decay
         delta = jnp.take_along_axis(flat_vec, prev_idx[..., None], axis=1)
         embed = embed + delta.reshape(embed.shape) * (scale * step)
         idx = ravel(embed)
-        moving = jnp.sum((idx != prev_idx).astype(jnp.float32))
-        return i + 1, embed, idx, step, moving
+        moved = idx != prev_idx
+        if exit_cycle:
+            moved = moved & (idx != prev2_idx)  # period-2 = converged
+        moving = jnp.sum(moved.astype(jnp.float32))
+        return i + 1, embed, idx, prev_idx, step, moving
 
-    carry = (jnp.int32(0), embed, ravel(embed), jnp.float32(1.0),
-             jnp.float32(n_vox))
-    _, embed, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    idx0 = ravel(embed)
+    carry = (jnp.int32(0), embed, idx0, jnp.full_like(idx0, -1),
+             jnp.float32(1.0), jnp.float32(n_vox))
+    _, embed, _, _, _, _ = jax.lax.while_loop(cond, body, carry)
     return embed
 
 
@@ -127,6 +143,7 @@ def vector_to_embedding(
     n: int = 1,
     decay: float = 1.0,
     exit_fraction: float | None = None,
+    exit_cycle: bool = False,
 ) -> jax.Array:
     """Convert a vector field to spatial embeddings.
 
@@ -140,6 +157,9 @@ def vector_to_embedding(
            a still-moving rounded index drops below it (near-exact for
            thresholded inference fields; None = exactly n steps, reference
            semantics).
+        exit_cycle: with ``exit_fraction``, also count period-2 index cycles
+           as converged (see ``_vec2embed_early``; label-exact on measured
+           trained fields, where on-tube voxels oscillate forever).
 
     Returns:
         embeddings of the same shape as ``vector`` (float32).
@@ -153,5 +173,6 @@ def vector_to_embedding(
     )
     if exit_fraction is not None and n > 1:
         return _vec2embed_early(scale, vector, n=int(n), decay=float(decay),
-                                exit_fraction=float(exit_fraction))
+                                exit_fraction=float(exit_fraction),
+                                exit_cycle=bool(exit_cycle))
     return _vec2embed(scale, vector, n=int(n), decay=float(decay))

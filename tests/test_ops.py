@@ -268,3 +268,47 @@ class TestEmbedEarlyExit:
                    axis=-1)
         )
         assert agree > 0.97, agree
+
+    def test_cycle_exit_stops_oscillation_with_same_target(self):
+        """A field whose voxels flip between two adjacent indices (measured
+        behavior of trained fields around the skeleton — the plain exit
+        never fires) must exit under exit_cycle with a final rounded index
+        inside the 2-cycle pair."""
+        import jax.numpy as jnp
+
+        from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+        # two columns pointing at each other: index oscillates 8 <-> 9
+        shape = (16, 8, 4)
+        vec = np.zeros((1, *shape, 3), np.float32)
+        vec[0, 8, :, :, 0] = 0.25   # 8 -> 9 (scale 4)
+        vec[0, 9, :, :, 0] = -0.25  # 9 -> 8
+        scale = (4.0, 4.0, 4.0)
+        exact = np.round(np.asarray(
+            vector_to_embedding(scale, jnp.asarray(vec), n=10)))
+        cyc = np.round(np.asarray(
+            vector_to_embedding(scale, jnp.asarray(vec), n=10,
+                                exit_fraction=0.0, exit_cycle=True)))
+        # oscillating voxels land on one of the two cycle points either way
+        assert set(np.unique(cyc[0, 8:10, :, :, 0])) <= {8.0, 9.0}
+        assert set(np.unique(exact[0, 8:10, :, :, 0])) <= {8.0, 9.0}
+        # every other voxel is static and must match exactly
+        np.testing.assert_array_equal(cyc[0, :8], exact[0, :8])
+        np.testing.assert_array_equal(cyc[0, 10:], exact[0, 10:])
+
+    def test_cycle_exit_exact_on_converging_field(self):
+        import jax.numpy as jnp
+
+        from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+        shape = (16, 8, 4)
+        vec = np.zeros((1, *shape, 3), np.float32)
+        xs = np.arange(shape[0], dtype=np.float32)
+        vec[0, :, :, :, 0] = ((8.0 - xs) / 4.0).clip(-1, 1)[:, None, None]
+        vec[0, 8, :, :, 0] = 0.0
+        scale = (4.0, 4.0, 4.0)
+        exact = vector_to_embedding(scale, jnp.asarray(vec), n=10)
+        cyc = vector_to_embedding(scale, jnp.asarray(vec), n=10,
+                                  exit_fraction=0.0, exit_cycle=True)
+        np.testing.assert_allclose(np.asarray(cyc), np.asarray(exact),
+                                   atol=1e-5)
