@@ -189,11 +189,22 @@ def _dwconv3d_bwd(res, g):
     if (w.shape[0] % 2 == 1  # flip identity needs symmetric SAME padding
             and os.environ.get("SKOOTS_DGRAD_IMPL", "pallas") != "xla"):
         dx = dwconv3d_dgrad(g, w).astype(x.dtype)
-        wgrad_impl = os.environ.get("SKOOTS_DWGRAD_IMPL", "xla")
+        # default 'auto' resolves to the register-blocked Pallas wgrad on
+        # eligible TPU shapes — the chip A/B (runs/bench_dwgrad.json,
+        # Aug 20) measured pallas_v2 at 23.1 ms vs XLA's 382.9 ms on the
+        # reference-envelope 304^2x24 B1 geometry (16.6x) and 8.0 vs
+        # 44.6 ms on the campaign crop (5.6x); 'xla' restores the vjp path
+        wgrad_impl = os.environ.get("SKOOTS_DWGRAD_IMPL", "auto")
+        if wgrad_impl == "auto":
+            wgrad_impl = (
+                "pallas_v2"
+                if jax.default_backend() == "tpu"
+                and _wgrad_pallas_eligible(x, w.shape[0])
+                else "xla"
+            )
         if wgrad_impl in ("pallas", "pallas_v2"):
-            # single-pass Pallas tap reduction; opt-in until the chip A/B
-            # lands (tools/bench_dwgrad.py): 'pallas' = full-block reduce,
-            # 'pallas_v2' = register-blocked carry accumulators
+            # 'pallas' = full-block reduce, 'pallas_v2' = register-blocked
+            # carry accumulators (tools/bench_dwgrad.py measures both)
             wg = (dwconv3d_wgrad_pallas_v2 if wgrad_impl == "pallas_v2"
                   else dwconv3d_wgrad_pallas)
             dw = wg(x, g, w.shape[0]).astype(w.dtype)
@@ -610,6 +621,19 @@ def _dw_wgrad_kernel(x_hbm, g_ref, o_ref, slab, shifted, sem, *, bx, by, k,
                 o_ref[dx, dy, dz] = o_ref[dx, dy, dz] + jnp.sum(
                     prod, axis=(0, 1, 2)
                 )
+
+
+def _wgrad_pallas_eligible(x: jax.Array, k: int) -> bool:
+    """Shape gate for the Pallas weight gradients: the z axis is packed
+    into 128-wide lanes as (g, c) with g = 128 // c, so c must divide 128
+    and z must divide evenly into g-groups. Mirrors the kernels' asserts
+    so 'auto' never trips them."""
+    c = x.shape[-1]
+    zs = x.shape[-2]
+    if c > 128 or 128 % c:
+        return False
+    g = 128 // c
+    return zs % g == 0 and k % 2 == 1
 
 
 def dwconv3d_wgrad_pallas(
