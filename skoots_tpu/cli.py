@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "walk (skips steps once <0.1%% of voxels still move; "
                         "default runs all N steps — reference semantics, "
                         "eval.py:271-273)")
+    p.add_argument("--cycle-exit-walk", action="store_true",
+                   dest="cycle_exit_walk",
+                   help="with --fast-embed-walk, also treat period-2 index "
+                        "oscillations as converged (trained fields pin the "
+                        "moving fraction at the fg fraction otherwise; "
+                        "label-exact on measured fields, "
+                        "runs/bench_assign.json)")
     p.add_argument("--out-of-core", dest="out_of_core", default=None,
                    action="store_true",
                    help="force disk-backed buffers (default: auto over 256^3)")
@@ -164,6 +171,7 @@ def main(argv=None) -> int:
             batch=args.batch,
             spatial_shards=args.spatial_shards,
             embed_exit_fraction=1e-3 if args.fast_embed_walk else None,
+            embed_exit_cycle=args.cycle_exit_walk,
             out_of_core=args.out_of_core,
             dilation_3d=args.dilation_3d,
             dilation_2d=args.dilation_2d,

@@ -147,7 +147,8 @@ def _make_tile_fn(model, params, mean, std, prob_thr: float,
 
 def _make_embed_fn(scale: Sequence[float], vol_shape: Tuple[int, int, int],
                    n_iter: int, decay: float = 1.0,
-                   exit_fraction: float | None = None):
+                   exit_fraction: float | None = None,
+                   exit_cycle: bool = False):
     """Phase-3a jitted step: walk the embedding, return rounded volume-space
     indices (clipped) plus their bounding box. The index tensor stays on
     device between 3a and 3b; only 6 scalars cross to host, which then
@@ -160,7 +161,8 @@ def _make_embed_fn(scale: Sequence[float], vol_shape: Tuple[int, int, int],
     def embed_fn(vec_tiles: jax.Array, offsets: jax.Array):
         emb = vector_to_embedding(jnp.asarray(scale),
                                   vec_tiles.astype(jnp.float32), n=n_iter,
-                                  decay=decay, exit_fraction=exit_fraction)
+                                  decay=decay, exit_fraction=exit_fraction,
+                                  exit_cycle=exit_cycle)
         emb = emb + offsets[:, None, None, None, :].astype(emb.dtype)
         idx = jnp.clip(jnp.round(emb).astype(jnp.int32), 0, dims - 1)
         return idx, idx.min(axis=(0, 1, 2, 3)), idx.max(axis=(0, 1, 2, 3))
@@ -173,7 +175,8 @@ def _make_recompute_embed_fn(model, params, mean, std, prob_thr: float,
                              scale: Sequence[float],
                              vol_shape: Tuple[int, int, int], n_iter: int,
                              decay: float = 1.0,
-                             exit_fraction: float | None = None):
+                             exit_fraction: float | None = None,
+                             exit_cycle: bool = False):
     """Phase-3a for wire_mode='recompute': ONE jitted step from the raw
     image tile (1 byte/voxel over the wire) to walked indices + on-device
     foreground gate. Re-runs the phase-1 forward instead of round-tripping
@@ -200,7 +203,8 @@ def _make_recompute_embed_fn(model, params, mean, std, prob_thr: float,
         vec = (vec * keep).astype(jnp.float16)  # match the stored-field path
         emb = vector_to_embedding(jnp.asarray(scale),
                                   vec.astype(jnp.float32), n=n_iter,
-                                  decay=decay, exit_fraction=exit_fraction)
+                                  decay=decay, exit_fraction=exit_fraction,
+                                  exit_cycle=exit_cycle)
         emb = emb + offsets[:, None, None, None, :].astype(emb.dtype)
         idx = jnp.clip(jnp.round(emb).astype(jnp.int32), 0, dims - 1)
         if sem_thr is None:
@@ -485,6 +489,7 @@ def run_inference(
     embed_iterations: int = 10,
     embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
+    embed_exit_cycle: bool = False,
     dilation_3d: int | None = None,
     dilation_2d: int | None = None,
     batch: int = 1,
@@ -848,6 +853,7 @@ def run_inference(
                 prob_threshold=prob_threshold,
                 embed_iterations=embed_iterations, embed_decay=embed_decay,
                 embed_exit_fraction=embed_exit_fraction,
+                embed_exit_cycle=embed_exit_cycle,
                 dilation_3d=dilation_3d, dilation_2d=dilation_2d,
                 semantic_threshold=semantic_threshold,
                 semantic_gate=semantic_gate,
@@ -1039,10 +1045,12 @@ def run_inference(
                 model, params, mean, std, prob_threshold,
                 semantic_threshold if semantic_gate else None, vec_scale,
                 (x, y, z), embed_iterations, embed_decay, embed_exit_fraction,
+                embed_exit_cycle,
             )
         else:
             embed_fn = _make_embed_fn(vec_scale, (x, y, z), embed_iterations,
-                                      embed_decay, embed_exit_fraction)
+                                      embed_decay, embed_exit_fraction,
+                                      embed_exit_cycle)
 
         # Label-crop budget: when a batch's reached bbox would copy more label
         # bytes than this to host+device, fall back to streaming fixed-shape
