@@ -70,11 +70,14 @@ def main():
     ref = None
     for p, j, s in configs:
         cc = make_label_components_stepped(
-            shape, rounds_per_dispatch=1 if (j or s) else 16,
+            # big-P jump-free rows poll convergence EVERY round — 16
+            # rounds/dispatch at P=384 would run 6144 hops before the
+            # first poll
+            shape, rounds_per_dispatch=1 if (j or s or p >= 64) else 16,
             propagates_per_round=p, jumps_per_round=j, scans_per_round=s,
             propagate_impl=os.environ.get("CC_IMPL", "auto"),
         )
-        budget = 4096 // max(p, 1) if not s else 256
+        budget = max(4096 // max(p, 1), 8) if not s else 256
         lab = cc(mask, max_rounds=budget)
         lab.block_until_ready()
         t0 = time.time()
