@@ -126,7 +126,7 @@ def test_overrun_kills_child_and_reports(bench_mod, monkeypatch, tmp_path):
     """A measurement that outlives the watchdog budget must be killed and
     reported as measurement_incomplete with the heartbeat embedded."""
     monkeypatch.setattr(bench_mod, "_probe_chip", lambda *a, **k: True)
-    monkeypatch.setenv("BENCH_WALL_BUDGET", "4")
+    monkeypatch.setenv("BENCH_WALL_BUDGET", "2")
     monkeypatch.setenv("BENCH_PARENT_MARGIN", "0.1")
     _write(tmp_path, "bench_prior.json", _fixture_record(6.0e6, 50.0))
 
