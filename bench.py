@@ -245,8 +245,15 @@ def _run(shape, crop, overlap, repeats, deadline=None, hb=lambda *a, **k: None) 
             None if os.environ.get("BENCH_EXACT_WALK") else 1e-3
         ),
         embed_exit_cycle=bool(int(os.environ.get("BENCH_EXIT_CYCLE", "0"))),
-        cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "128")),
-        cc_jumps_per_round=int(os.environ.get("BENCH_CC_JUMPS", "1")),
+        # CC schedule: jump-free propagate-only, 192 hops/round — the
+        # measured 512^3 phantom optimum (runs/bench_cc_sweep_phantom.json:
+        # 1.38 s vs 8.33 s for the old 128-props+1-jump rounds; a pointer
+        # jump is a ~2 s whole-volume gather, the fused Pallas propagate is
+        # 4 hops per ~20 ms traversal). Speckle-like percolating masks
+        # prefer scans (BENCH_CC_SCANS=1 P=16 J=0: 2.3 s,
+        # runs/bench_cc_scan_speckle.json).
+        cc_propagates_per_round=int(os.environ.get("BENCH_CC_PROPAGATES", "192")),
+        cc_jumps_per_round=int(os.environ.get("BENCH_CC_JUMPS", "0")),
         cc_scans_per_round=int(os.environ.get("BENCH_CC_SCANS", "0")),
         tiles_per_dispatch=int(os.environ.get("BENCH_TILES_PER_DISPATCH", "16")),
     )
