@@ -275,15 +275,14 @@ def upsample2x_trilinear(x):
     """2x trilinear upsample of ``[B, X, Y, Z, C]``.
 
     Implementation dispatch (``SKOOTS_UPSAMPLE_IMPL`` = auto|mxu|pallas|
-    xla): 'auto' on TPU keeps the measured winner (the Pallas fused
-    cascade, runs/bench_upsample.json); 'mxu' opts into the
-    interleave-matmul re-expression until its on-chip A/B lands. Backward
-    is the XLA-composition transpose in every case (the op is linear, so
-    the transpose is exact)."""
+    xla): 'auto' on TPU uses the MXU interleave-matmul path — the Aug 20
+    on-chip A/B (runs/bench_upsample.json) has it beating the Pallas VPU
+    cascade on all four decoder shapes (23.9 vs 26.7, 5.6 vs 7.3, 10.5 vs
+    15.4, 4.8 vs 5.1 ms) at max_abs_err 0.0. Backward is the
+    XLA-composition transpose in every case (the op is linear, so the
+    transpose is exact)."""
     impl = os.environ.get("SKOOTS_UPSAMPLE_IMPL", "auto")
-    if impl == "mxu":
-        # opt-in until the on-chip A/B (tools/bench_upsample.py) lands;
-        # dispatch decisions here are measurements, not hopes
+    if impl == "mxu" or (impl == "auto" and jax.default_backend() == "tpu"):
         return _mxu_upsample(x)
     if impl != "xla" and upsample2x_eligible(x) and (
         impl == "pallas" or jax.default_backend() == "tpu"
