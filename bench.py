@@ -245,6 +245,12 @@ def _run(shape, crop, overlap, repeats, deadline=None, hb=lambda *a, **k: None) 
             None if os.environ.get("BENCH_EXACT_WALK") else 1e-3
         ),
         embed_exit_cycle=bool(int(os.environ.get("BENCH_EXIT_CYCLE", "0"))),
+        # exact-N fg-compacted walk (ops/vec2embed._vec2embed_compact):
+        # bitwise-identical, walks only nonzero-vector voxels after the
+        # dense first step. 0 disables.
+        embed_compact_div=(
+            int(os.environ.get("BENCH_COMPACT_DIV", "8")) or None
+        ),
         # CC schedule: jump-free propagate-only, 192 hops/round — the
         # measured 512^3 phantom optimum (runs/bench_cc_sweep_phantom.json:
         # 1.38 s vs 8.33 s for the old 128-props+1-jump rounds; a pointer

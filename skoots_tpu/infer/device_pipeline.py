@@ -47,6 +47,7 @@ def make_device_pipeline(
     embed_iterations: int = 10,
     embed_exit_fraction: float | None = None,
     embed_exit_cycle: bool = False,
+    embed_compact_div: int | None = None,
     cc_rounds: int = 32,
     cc_propagates_per_round: int = 128,
     cc_jumps_per_round: int = 1,
@@ -152,7 +153,8 @@ def make_device_pipeline(
             ).astype(jnp.float32)
             emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
                                       exit_fraction=embed_exit_fraction,
-                                      exit_cycle=embed_exit_cycle)[0]
+                                      exit_cycle=embed_exit_cycle,
+                                      compact_div=embed_compact_div)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)
@@ -210,6 +212,7 @@ def make_chunked_pipeline(
     embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
     embed_exit_cycle: bool = False,
+    embed_compact_div: int | None = None,
     dilation_3d: int = 1,
     dilation_2d: int = 2,
     semantic_threshold: float | None = None,
@@ -356,7 +359,8 @@ def make_chunked_pipeline(
             emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
                                       decay=embed_decay,
                                       exit_fraction=embed_exit_fraction,
-                                      exit_cycle=embed_exit_cycle)[0]
+                                      exit_cycle=embed_exit_cycle,
+                                      compact_div=embed_compact_div)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)
@@ -438,6 +442,7 @@ def make_thrifty_pipeline(
     embed_decay: float = 1.0,
     embed_exit_fraction: float | None = None,
     embed_exit_cycle: bool = False,
+    embed_compact_div: int | None = None,
     dilation_3d: int = 1,
     dilation_2d: int = 2,
     semantic_threshold: float | None = None,
@@ -560,7 +565,8 @@ def make_thrifty_pipeline(
             emb = vector_to_embedding(scale_arr, vec[None].astype(jnp.float32),
                                       n=embed_iterations, decay=embed_decay,
                                       exit_fraction=embed_exit_fraction,
-                                      exit_cycle=embed_exit_cycle)[0]
+                                      exit_cycle=embed_exit_cycle,
+                                      compact_div=embed_compact_div)[0]
             emb = emb + o.astype(jnp.float32)[None, None, None, :]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, x - 1)

@@ -67,6 +67,84 @@ def _vec2embed(scale: jax.Array, vector: jax.Array, n: int, decay: float) -> jax
     return embed
 
 
+@partial(jax.jit, static_argnames=("n", "decay", "budget_div"))
+def _vec2embed_compact(scale: jax.Array, vector: jax.Array, n: int,
+                       decay: float, budget_div: int = 8) -> jax.Array:
+    """EXACT N-step walk that only walks the foreground.
+
+    Zero-vector voxels are stationary under the dense semantics (their
+    embedding is their own coordinate, whose stored vector is the same
+    zero), and inference fields are thresholded so 90%+ of voxels are
+    zero — yet every dense step gathers ALL of them (332 ms per 256^2x64
+    tile at N=10, runs/bench_assign.json). Here the first step runs dense
+    (it is also the fg test), the nonzero voxels are compacted into a
+    ``total // budget_div`` buffer, steps 2..N walk only that buffer, and
+    the results scatter back. Bitwise-identical to ``_vec2embed`` (same
+    elementwise round/clip/gather/fma chain); if the foreground exceeds
+    the buffer, a ``lax.cond`` falls back to the dense loop in-graph.
+    """
+    spatial = vector.shape[1:-1]
+    d = vector.shape[-1]
+    bsz = vector.shape[0]
+    mesh = coordinate_mesh(spatial, dtype=jnp.float32)[None]
+    scale_bc = scale.astype(jnp.float32).reshape(
+        (1,) + (1,) * len(spatial) + (d,))
+    vec_f = vector.astype(jnp.float32)
+    embed = mesh + vec_f * scale_bc
+    if n <= 1:
+        return embed
+
+    sizes = jnp.asarray(spatial, dtype=jnp.int32)
+    strides = jnp.concatenate(
+        [jnp.cumprod(sizes[::-1])[::-1][1:], jnp.ones((1,), jnp.int32)]
+    )
+    v = 1
+    for s in spatial:
+        v *= s
+    total = bsz * v
+    cap = max(total // budget_div, 1)
+    flat_vec = vec_f.reshape(total, d)
+    fg = jnp.any(flat_vec != 0, axis=-1)
+    n_fg = fg.sum()
+    (sel,) = jnp.nonzero(fg, size=cap, fill_value=total)
+    sel_safe = jnp.minimum(sel, total - 1)
+    base = (sel_safe // v) * v  # batch-local gathers stay in-batch
+    flat_vec_pad = jnp.concatenate(
+        [flat_vec, jnp.zeros((1, d), jnp.float32)], axis=0)
+    scale_v = scale.astype(jnp.float32).reshape(1, d)
+    emb_flat = embed.reshape(total, d)
+
+    def compact_branch(emb_flat):
+        cur = jnp.take(emb_flat, sel_safe, axis=0)
+        step = 1.0
+        for _ in range(n - 1):
+            step = step * decay
+            idx = jnp.clip(jnp.round(cur).astype(jnp.int32), 0, sizes - 1)
+            li = jnp.sum(idx * strides, axis=-1) + base
+            li = jnp.where(sel < total, li, total)  # pad rows -> zero row
+            delta = flat_vec_pad[li]
+            cur = cur + delta * (scale_v * step)
+        return emb_flat.at[sel].set(cur, mode="drop")
+
+    def dense_branch(emb_flat):
+        e = emb_flat.reshape(embed.shape)
+        step = 1.0
+        bvec = flat_vec.reshape(bsz, v, d)
+        for _ in range(n - 1):
+            step = step * decay
+            idx = jnp.clip(
+                jnp.round(e).astype(jnp.int32),
+                0, sizes.reshape((1,) + (1,) * len(spatial) + (d,)) - 1,
+            )
+            flat_idx = jnp.sum(idx * strides, axis=-1).reshape(bsz, -1)
+            delta = jnp.take_along_axis(bvec, flat_idx[..., None], axis=1)
+            e = e + delta.reshape(e.shape) * (scale_bc * step)
+        return e.reshape(total, d)
+
+    out = jax.lax.cond(n_fg <= cap, compact_branch, dense_branch, emb_flat)
+    return out.reshape(embed.shape)
+
+
 @partial(jax.jit,
          static_argnames=("n", "decay", "exit_fraction", "exit_cycle"))
 def _vec2embed_early(scale: jax.Array, vector: jax.Array, n: int,
@@ -144,6 +222,7 @@ def vector_to_embedding(
     decay: float = 1.0,
     exit_fraction: float | None = None,
     exit_cycle: bool = False,
+    compact_div: int | None = None,
 ) -> jax.Array:
     """Convert a vector field to spatial embeddings.
 
@@ -160,6 +239,12 @@ def vector_to_embedding(
         exit_cycle: with ``exit_fraction``, also count period-2 index cycles
            as converged (see ``_vec2embed_early``; label-exact on measured
            trained fields, where on-tube voxels oscillate forever).
+        compact_div: walk only nonzero-vector voxels after the first step,
+           in a ``size // compact_div`` buffer — BITWISE-identical to the
+           dense n-step walk (zero-vector voxels are stationary under the
+           dense semantics), with an in-graph dense fallback when the
+           foreground exceeds the buffer. Wins whenever the field is
+           thresholded (takes precedence over ``exit_fraction``).
 
     Returns:
         embeddings of the same shape as ``vector`` (float32).
@@ -171,6 +256,10 @@ def vector_to_embedding(
     assert vector.shape[-1] == scale.shape[0], (
         f"scale dim {scale.shape} mismatches vector channels {vector.shape[-1]}"
     )
+    if compact_div is not None and n > 1:
+        return _vec2embed_compact(scale, vector, n=int(n),
+                                  decay=float(decay),
+                                  budget_div=int(compact_div))
     if exit_fraction is not None and n > 1:
         return _vec2embed_early(scale, vector, n=int(n), decay=float(decay),
                                 exit_fraction=float(exit_fraction),

@@ -296,6 +296,35 @@ class TestEmbedEarlyExit:
         np.testing.assert_array_equal(cyc[0, :8], exact[0, :8])
         np.testing.assert_array_equal(cyc[0, 10:], exact[0, 10:])
 
+    def test_compact_walk_bitwise_exact(self):
+        """_vec2embed_compact: same elementwise chain on a compacted fg
+        buffer — must be BITWISE equal to the dense walk, including bg
+        stationarity, batch isolation, and the dense fallback when fg
+        exceeds the buffer."""
+        import jax.numpy as jnp
+
+        from skoots_tpu.ops.vec2embed import vector_to_embedding
+
+        rng = np.random.default_rng(3)
+        shape = (2, 14, 12, 6, 3)
+        vec = (rng.random(shape, np.float32) - 0.5) * 1.6
+        # threshold: ~10% fg, distinct per batch item
+        keep = rng.random(shape[:-1]) < 0.1
+        vec = vec * keep[..., None]
+        scale = (5.0, 5.0, 2.5)
+        for n, decay in [(10, 1.0), (6, 0.9)]:
+            dense = np.asarray(vector_to_embedding(scale, jnp.asarray(vec),
+                                                   n=n, decay=decay))
+            comp = np.asarray(vector_to_embedding(scale, jnp.asarray(vec),
+                                                  n=n, decay=decay,
+                                                  compact_div=4))
+            np.testing.assert_array_equal(dense, comp)
+        # dense fallback path: fg >> buffer (compact_div huge)
+        comp = np.asarray(vector_to_embedding(scale, jnp.asarray(vec), n=5,
+                                              compact_div=1000))
+        dense = np.asarray(vector_to_embedding(scale, jnp.asarray(vec), n=5))
+        np.testing.assert_array_equal(dense, comp)
+
     def test_cycle_exit_exact_on_converging_field(self):
         import jax.numpy as jnp
 

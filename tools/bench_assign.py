@@ -109,12 +109,13 @@ def main() -> int:
     movs = np.asarray(moving_per_step(vec))
     print("moving fraction per step:", [round(float(m), 5) for m in movs])
 
-    def walk_assign(n, exit_fraction, exit_cycle=False):
+    def walk_assign(n, exit_fraction, exit_cycle=False, compact=None):
         @jax.jit
         def run(vec, labels, fg):
             emb = vector_to_embedding(scale, vec.astype(jnp.float32)[None],
                                       n=n, exit_fraction=exit_fraction,
-                                      exit_cycle=exit_cycle)[0]
+                                      exit_cycle=exit_cycle,
+                                      compact_div=compact)[0]
             idx = jnp.round(emb).astype(jnp.int32)
             ix = jnp.clip(idx[..., 0], 0, shape[0] - 1)
             iy = jnp.clip(idx[..., 1], 0, shape[1] - 1)
@@ -125,10 +126,13 @@ def main() -> int:
 
     rows = []
     exact = None
-    for n, ef, cyc in [(10, None, False), (10, 1e-3, False),
-                       (10, 1e-3, True), (10, 1e-2, True),
-                       (6, None, False), (4, None, False), (3, None, False)]:
-        run = walk_assign(n, ef, cyc)
+    for n, ef, cyc, comp in [
+            (10, None, False, None), (10, None, False, 8),
+            (10, None, False, 16), (10, 1e-3, False, None),
+            (10, 1e-3, True, None),
+            (6, None, False, None), (4, None, False, None),
+            (3, None, False, None)]:
+        run = walk_assign(n, ef, cyc, comp)
         inst = jax.block_until_ready(run(vec, labels, fg))
         t0 = time.time()
         reps = 3
@@ -143,6 +147,7 @@ def main() -> int:
             m = exact > 0
             agree = float((inst[m] == exact[m]).mean()) if m.any() else 1.0
         row = {"n": n, "exit_fraction": ef, "exit_cycle": cyc,
+               "compact_div": comp,
                "ms": round(dt * 1e3, 1),
                "agree_vs_exact": round(agree, 5),
                "instances": int(len(np.unique(inst)) - 1)}
