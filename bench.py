@@ -247,9 +247,11 @@ def _run(shape, crop, overlap, repeats, deadline=None, hb=lambda *a, **k: None) 
         embed_exit_cycle=bool(int(os.environ.get("BENCH_EXIT_CYCLE", "0"))),
         # exact-N fg-compacted walk (ops/vec2embed._vec2embed_compact):
         # bitwise-identical, walks only nonzero-vector voxels after the
-        # dense first step. 0 disables.
+        # dense first step. Measured 2.1x on the assign tile (154 vs
+        # 327 ms at div=16, agreement 1.0, runs/bench_assign.json); the
+        # in-graph dense fallback covers fg > 1/16. 0 disables.
         embed_compact_div=(
-            int(os.environ.get("BENCH_COMPACT_DIV", "8")) or None
+            int(os.environ.get("BENCH_COMPACT_DIV", "16")) or None
         ),
         # CC schedule: jump-free propagate-only, 192 hops/round — the
         # measured 512^3 phantom optimum (runs/bench_cc_sweep_phantom.json:
