@@ -174,6 +174,77 @@ def make_device_pipeline(
     return pipeline
 
 
+def make_compact_assign_tile(a_crop, volume_shape, scale_arr, n, decay, div):
+    """Fully fg-compacted phase-3 tile: walk AND label-gather only the
+    semantically-gated voxels.
+
+    The assign output is gated — background voxels are 0 regardless of
+    where their walk lands — so with fg at the usual few percent, the
+    dense per-tile walk (10 full-tile gathers + one full-tile label
+    gather, 327 ms at 256^2x64 / N=10 on v5e) does ~25x more gather work
+    than the output needs. Here the fg voxels compact into a
+    ``tile // div`` buffer: N-1 walk steps + the final whole-volume label
+    gather all run at fg size, and the labels scatter back into a zero
+    tile. Output-exact vs the dense path (same elementwise chain; the
+    final round commutes with the integer origin shift); a ``lax.cond``
+    falls back to the dense exact walk when fg exceeds the buffer.
+    Measured: phase 3 6.0 s -> (see runs/bench_r05_final.json vs the
+    compact-assign rerun). Reference walk semantics:
+    /root/reference/skoots/lib/vector_to_embedding.py:80-133, N=10 at
+    eval.py:271-273.
+    """
+    ax, ay, az = a_crop
+    vtot = ax * ay * az
+    cap = max(vtot // div, 1)
+    x, y, z = volume_shape
+    sizes = jnp.asarray(a_crop, jnp.int32)
+    strides = jnp.asarray([ay * az, az, 1], jnp.int32)
+    scale_v = jnp.asarray(scale_arr, jnp.float32).reshape(1, 3)
+
+    def dense(vtile, fg, labels, o):
+        emb = vector_to_embedding(scale_arr, vtile[None], n=n, decay=decay)[0]
+        emb = emb + o.astype(jnp.float32)[None, None, None, :]
+        idx = jnp.round(emb).astype(jnp.int32)
+        ix = jnp.clip(idx[..., 0], 0, x - 1)
+        iy = jnp.clip(idx[..., 1], 0, y - 1)
+        iz = jnp.clip(idx[..., 2], 0, z - 1)
+        return jnp.where(fg, labels[ix, iy, iz], 0)
+
+    def compact(vtile, fg, labels, o):
+        flat_fg = fg.reshape(-1)
+        (sel,) = jnp.nonzero(flat_fg, size=cap, fill_value=vtot)
+        sel_safe = jnp.minimum(sel, vtot - 1)
+        flat_vec = vtile.reshape(vtot, 3)
+        vec_pad = jnp.concatenate(
+            [flat_vec, jnp.zeros((1, 3), jnp.float32)], axis=0)
+        c0 = sel_safe // (ay * az)
+        r = sel_safe % (ay * az)
+        coord = jnp.stack([c0, r // az, r % az], -1).astype(jnp.float32)
+        cur = coord + flat_vec[sel_safe] * scale_v
+        step = 1.0
+        for _ in range(n - 1):
+            step = step * decay
+            idx = jnp.clip(jnp.round(cur).astype(jnp.int32), 0, sizes - 1)
+            li = jnp.sum(idx * strides, axis=-1)
+            li = jnp.where(sel < vtot, li, vtot)  # pad rows -> zero row
+            cur = cur + vec_pad[li] * (scale_v * step)
+        g = jnp.round(cur).astype(jnp.int32) + o[None, :]
+        vals = labels[
+            jnp.clip(g[:, 0], 0, x - 1),
+            jnp.clip(g[:, 1], 0, y - 1),
+            jnp.clip(g[:, 2], 0, z - 1),
+        ]
+        vals = jnp.where(sel < vtot, vals, 0)
+        tile = jnp.zeros((vtot,), labels.dtype).at[sel].set(vals, mode="drop")
+        return tile.reshape(a_crop)
+
+    def assign_tile(vtile, fg, labels, o):
+        return jax.lax.cond(fg.sum() <= cap, compact, dense,
+                            vtile, fg, labels, o)
+
+    return assign_tile
+
+
 def _round4(d: int) -> int:
     return max(4, (d // 4) * 4)
 
@@ -349,6 +420,13 @@ def make_chunked_pipeline(
     a_origins = np.asarray(crop_origins((x, y, z), a_crop, (0, 0, 0)), np.int32)
     scale_arr = jnp.asarray(vector_scale, jnp.float32)
 
+    compact_assign = (
+        make_compact_assign_tile(a_crop, (x, y, z), scale_arr,
+                                 embed_iterations, embed_decay,
+                                 embed_compact_div)
+        if (embed_compact_div and semantic_gate) else None
+    )
+
     @partial(jax.jit, donate_argnums=(3,))
     def assign_chunk(labels, vec_full, skel_full, inst, chunk_origins):
         def body(i, inst):
@@ -356,6 +434,13 @@ def make_chunked_pipeline(
             vtile = jax.lax.dynamic_slice(
                 vec_full, (o[0], o[1], o[2], 0), (*a_crop, 3)
             ).astype(jnp.float32)
+            if compact_assign is not None:
+                # gated output: walk + label-gather only the fg voxels
+                fg = (jax.lax.dynamic_slice(
+                    skel_full, (o[0], o[1], o[2]), a_crop) >> 1) > 0
+                tile_inst = compact_assign(vtile, fg, labels, o)
+                return jax.lax.dynamic_update_slice(
+                    inst, tile_inst, (o[0], o[1], o[2]))
             emb = vector_to_embedding(scale_arr, vtile[None], n=embed_iterations,
                                       decay=embed_decay,
                                       exit_fraction=embed_exit_fraction,
@@ -546,6 +631,12 @@ def make_thrifty_pipeline(
     )
     a_origins = np.asarray(crop_origins((x, y, z), a_crop, (0, 0, 0)), np.int32)
     scale_arr = jnp.asarray(vector_scale, jnp.float32)
+    compact_assign = (
+        make_compact_assign_tile(a_crop, (x, y, z), scale_arr,
+                                 embed_iterations, embed_decay,
+                                 embed_compact_div)
+        if (embed_compact_div and semantic_gate) else None
+    )
 
     @partial(jax.jit, donate_argnums=(3,))
     def assign_chunk(params, labels, vol, inst, chunk_origins, mean, std):
@@ -562,6 +653,12 @@ def make_thrifty_pipeline(
             prob = out[..., 4:5]
             keep = (prob > prob_threshold).astype(out.dtype)
             vec = (vec * keep).astype(jnp.float16)  # match the stored-field path
+            if compact_assign is not None:
+                fg = prob[..., 0] > sem_thr
+                tile_inst = compact_assign(vec.astype(jnp.float32), fg,
+                                           labels, o)
+                return jax.lax.dynamic_update_slice(
+                    inst, tile_inst, (o[0], o[1], o[2]))
             emb = vector_to_embedding(scale_arr, vec[None].astype(jnp.float32),
                                       n=embed_iterations, decay=embed_decay,
                                       exit_fraction=embed_exit_fraction,
