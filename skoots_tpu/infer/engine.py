@@ -854,6 +854,13 @@ def run_inference(
                 embed_iterations=embed_iterations, embed_decay=embed_decay,
                 embed_exit_fraction=embed_exit_fraction,
                 embed_exit_cycle=embed_exit_cycle,
+                # output-exact fg-compacted assign (device_pipeline.
+                # make_compact_assign_tile): the semantic gate makes walking
+                # only fg voxels exact; measured 2.1x+ on v5e
+                # (runs/bench_assign.json). SKOOTS_COMPACT_DIV=0 disables.
+                embed_compact_div=(
+                    int(os.environ.get("SKOOTS_COMPACT_DIV", "16")) or None
+                ),
                 dilation_3d=dilation_3d, dilation_2d=dilation_2d,
                 semantic_threshold=semantic_threshold,
                 semantic_gate=semantic_gate,
