@@ -112,6 +112,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "calibrates the level whose foreground volume "
                         "matches the supervised DIST_THR ball), else the "
                         "standard 0.8")
+    p.add_argument("--min-instance-size", dest="min_instance_size",
+                   type=int, default=-1,
+                   help="drop instances below this voxel count before the "
+                        "final renumber. Default -1: auto — 1%% of the "
+                        "75th-percentile instance size (capped at 64), a no-op "
+                        "unless speck instances two orders of magnitude "
+                        "below typical exist (textured-data skeleton "
+                        "specks). 0 disables (the reference never filters, "
+                        "eval.py:245-310)")
     p.add_argument("--experimental", action="store_true",
                    help="use the experimental tuned knob set (prob 0.5, "
                         "3x 2D dilation, decaying embedding walk — reference "
@@ -178,6 +187,7 @@ def main(argv=None) -> int:
             semantic_threshold=args.semantic_threshold,
             wire_mode=args.wire_mode,
             engine_impl=args.engine_impl,
+            min_instance_size=args.min_instance_size,
         )
     return 0
 

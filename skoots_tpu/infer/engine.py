@@ -47,7 +47,11 @@ from skoots_tpu.ops.cropper import (
     bucketed_crop_size_down,
     crop_origins,
 )
-from skoots_tpu.ops.flood_fill import efficient_flood_fill, renumber
+from skoots_tpu.ops.flood_fill import (
+    drop_small_instances,
+    efficient_flood_fill,
+    renumber,
+)
 from skoots_tpu.ops.morphology import binary_dilation, binary_dilation_2d
 from skoots_tpu.ops.vec2embed import vector_to_embedding
 from skoots_tpu.train.checkpoint import load_checkpoint, restore_params
@@ -500,6 +504,7 @@ def run_inference(
     label_crop_budget_bytes: Optional[int] = None,
     wire_mode: str = "auto",
     engine_impl: str = "auto",
+    min_instance_size: int = -1,
 ) -> np.ndarray:
     """Segment a volume. Writes ``<image>_instance_mask.tif`` and
     ``<image>_skoots_benchmark.txt`` (reference contract, eval.py:285-310).
@@ -554,6 +559,15 @@ def run_inference(
     negligible and its buffer cache is useful), its estimated peak HBM
     fits the device, and no phase-1 cache is in play (the device pipeline
     neither writes nor reads the cached buffers).
+
+    ``min_instance_size`` drops speck instances below a voxel floor before
+    the final renumber. ``-1`` (default) self-calibrates to 1% of the
+    75th-percentile instance size (capped at 64) — a no-op unless some
+    instances are two orders of magnitude below the typical size, which
+    on textured data marks skeleton-probability specks (measured: every
+    realism-campaign false positive was <= 4 voxels vs a smallest true
+    instance of 499; ops/flood_fill.py::drop_small_instances). ``0``
+    disables (strict reference parity: eval.py:245-310 never filters).
 
     Returns the instance mask ``[X, Y, Z]`` int32 (a memmap when
     out-of-core).
@@ -688,6 +702,8 @@ def run_inference(
                 f.write("------------------------------\n")
                 f.write(f"Time: {dt} seconds\n")
                 f.write(f"Memory (current/max): {(cur, peak)}\n\n")
+            instance_mask, _ = drop_small_instances(
+                np.asarray(instance_mask), min_instance_size)
             instance_mask, _ = renumber(instance_mask)
             out_path = output_path or (stem + "_instance_mask.tif")
             imsave(out_path, instance_mask.astype(np.int32))
@@ -885,6 +901,8 @@ def run_inference(
                 f.write("------------------------------\n")
                 f.write(f"Time: {dt} seconds\n")
                 f.write(f"Memory (current/max): {(cur, peak)}\n\n")
+            instance_mask, _ = drop_small_instances(
+                instance_mask, min_instance_size)
             instance_mask, _ = renumber(instance_mask)
             instance_mask = instance_mask.astype(np.int32)
             out_path = output_path or (stem + "_instance_mask.tif")
@@ -1224,9 +1242,12 @@ def run_inference(
         if out_of_core:
             from skoots_tpu.ops.flood_fill import renumber_inplace
 
+            drop_small_instances(instance_mask, min_instance_size)
             renumber_inplace(instance_mask)
             instance_mask.flush()
         else:
+            instance_mask, _ = drop_small_instances(
+                instance_mask, min_instance_size)
             instance_mask, _ = renumber(instance_mask)
             instance_mask = instance_mask.astype(np.int32)
         out_path = output_path or (stem + "_instance_mask.tif")

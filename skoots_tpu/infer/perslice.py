@@ -63,6 +63,7 @@ def perslice_segment(
     semantic: np.ndarray,  # [X, Y, Z] uint8/bool
     vector_scale: Sequence[float] = (60.0, 60.0, 12.0),
     embed_iterations: int = 10,
+    min_instance_size: int = -1,
 ) -> np.ndarray:
     """Segment an anisotropic stack slice-by-slice, then stitch across z.
 
@@ -109,6 +110,10 @@ def perslice_segment(
             inst_z = remap_labels(inst_z, keys[changed], roots[changed])
 
     out = np.moveaxis(inst_z, 0, 2)  # [X, Y, Z]
+    # post-stitch speck filter (same auto rule as the 3D engine; 0 = off)
+    from skoots_tpu.ops.flood_fill import drop_small_instances
+
+    out, _ = drop_small_instances(out, min_instance_size)
     out, _ = renumber(out)
     return out.astype(np.int32)
 
@@ -122,6 +127,7 @@ def run_perslice_inference(
     crop_size: Tuple[int, int, int] = (300, 300, 20),
     overlap: Tuple[int, int, int] = (50, 50, 5),
     output_path: str | None = None,
+    min_instance_size: int = -1,
 ) -> np.ndarray:
     """CLI-level per-slice mode: phase-1 forward via the standard engine
     sweep (cached buffers reused when present), then 2D per-slice assignment
@@ -149,7 +155,8 @@ def run_perslice_inference(
     ckpt = load_checkpoint(checkpoint_path)
     scale = tuple(vector_scale or ckpt["cfg"].SKOOTS.VECTOR_SCALING)
     mask = perslice_segment(vectors, skeleton, semantic, scale,
-                            embed_iterations)
+                            embed_iterations,
+                            min_instance_size=min_instance_size)
     out_path = output_path or (stem + "_instance_mask_2d.tif")
     imsave(out_path, mask)
     return mask

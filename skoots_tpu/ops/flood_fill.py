@@ -702,6 +702,56 @@ def renumber_inplace(x: np.ndarray, chunk: int = 8) -> int:
     return int(len(uniq))
 
 
+def drop_small_instances(
+    x: np.ndarray, min_size: int = -1, chunk: int = 8
+) -> Tuple[np.ndarray, int]:
+    """Zero instance ids whose voxel count is below a floor (speck filter).
+
+    ``min_size``: voxel floor; ids with count < min_size become background.
+    ``0`` disables. ``-1`` (auto) self-calibrates to
+    ``min(1% of the 75th-percentile instance size, 64)`` — an instance
+    two orders of magnitude smaller than a typical instance is a skeleton
+    speck (realism-texture probability noise survives thresholding as
+    1-4 voxel fragments; measured on the aniso realism campaign: every
+    false positive was <= 4 voxels against a smallest true instance of
+    499). The 75th percentile, not the median, so the rule still
+    calibrates off real instances when specks are numerous; when all
+    instances are of similar size the threshold falls below any count
+    and the rule is a no-op, so label-convention tests and tiny phantoms
+    are unaffected.
+
+    The reference pipeline has no counterpart (eval.py:245-310 never
+    filters) — strict parity comparisons pass ``min_size=0``.
+
+    Streams chunk-wise along axis 0 (bounded RSS on memmaps; mutates
+    memmaps in place, copies in-memory arrays only when dropping).
+    Returns ``(mask, n_dropped)``.
+    """
+    if min_size == 0:
+        return x, 0
+    counts: Dict[int, int] = {}
+    for i in range(0, x.shape[0], chunk):
+        u, c = np.unique(np.asarray(x[i : i + chunk]), return_counts=True)
+        for uu, cc in zip(u[u != 0].tolist(), c[u != 0].tolist()):
+            counts[int(uu)] = counts.get(int(uu), 0) + int(cc)
+    if not counts:
+        return x, 0
+    if min_size < 0:
+        p75 = float(np.percentile(
+            np.fromiter(counts.values(), dtype=np.int64), 75))
+        min_size = int(min(0.01 * p75, 64.0))
+    small = np.array(
+        sorted(k for k, v in counts.items() if v < min_size), dtype=np.int64
+    )
+    if small.size == 0:
+        return x, 0
+    zeros = np.zeros(small.size, dtype=np.int64)
+    if isinstance(x, np.memmap):
+        remap_labels_inplace(x, small, zeros, chunk=chunk)
+        return x, int(small.size)
+    return remap_labels(x, small, zeros), int(small.size)
+
+
 def renumber(x: np.ndarray) -> Tuple[np.ndarray, Dict[int, int]]:
     """Compact labels to 1..N preserving 0 (fastremap.renumber equivalent,
     used at reference eval.py:304-306)."""

@@ -138,6 +138,70 @@ class TestRemap:
         assert mapping == {5: 1, 17: 2, 10000: 3}
 
 
+class TestDropSmallInstances:
+    """Speck filter (ops/flood_fill.py::drop_small_instances): the auto
+    rule zeroes only instances two orders of magnitude below the median
+    size — the realism-campaign FP signature (every FP <= 4 voxels vs a
+    smallest true instance of 499)."""
+
+    def _mask(self):
+        from skoots_tpu.ops.flood_fill import drop_small_instances  # noqa: F401
+
+        x = np.zeros((20, 20, 4), np.int32)
+        x[:10, :10] = 1          # 400 vox
+        x[10:, :10] = 2          # 400 vox
+        x[0, 19, 0] = 7          # 1-vox speck
+        x[19, 19, :3] = 9        # 3-vox speck
+        return x
+
+    def test_auto_drops_specks_only(self):
+        from skoots_tpu.ops.flood_fill import drop_small_instances
+
+        out, n = drop_small_instances(self._mask(), -1)
+        assert n == 2
+        assert set(np.unique(out)) == {0, 1, 2}
+        assert (out == 1).sum() == 400 and (out == 2).sum() == 400
+
+    def test_auto_noop_on_uniform_sizes(self):
+        """When every instance is of similar size, auto drops nothing —
+        tiny phantoms and label-convention fixtures are unaffected."""
+        from skoots_tpu.ops.flood_fill import drop_small_instances
+
+        x = np.array([0, 1, 1, 2, 2, 3, 3], np.int32)
+        out, n = drop_small_instances(x, -1)
+        assert n == 0
+        np.testing.assert_array_equal(out, x)
+
+    def test_zero_disables(self):
+        from skoots_tpu.ops.flood_fill import drop_small_instances
+
+        x = self._mask()
+        out, n = drop_small_instances(x, 0)
+        assert n == 0
+        np.testing.assert_array_equal(out, x)
+
+    def test_explicit_floor(self):
+        from skoots_tpu.ops.flood_fill import drop_small_instances
+
+        out, n = drop_small_instances(self._mask(), 4)
+        assert n == 2  # both specks < 4... the 3-vox and 1-vox ids
+        assert set(np.unique(out)) == {0, 1, 2}
+
+    def test_memmap_inplace(self, tmp_path):
+        from skoots_tpu.ops.flood_fill import drop_small_instances
+
+        p = tmp_path / "m.npy"
+        ref = self._mask()
+        mm = np.lib.format.open_memmap(
+            str(p), mode="w+", dtype=np.int32, shape=ref.shape)
+        mm[:] = ref
+        out, n = drop_small_instances(mm, -1, chunk=3)
+        assert n == 2 and out is mm
+        mm.flush()
+        back = np.load(str(p))
+        assert set(np.unique(back)) == {0, 1, 2}
+
+
 class TestSteppedCC:
     def test_matches_single_program(self, rng):
         from skoots_tpu.ops.flood_fill import make_label_components_stepped

@@ -312,6 +312,7 @@ def main() -> int:
         vol_path, args.ckpt, crop_size=crop, overlap=ov,
         assign_crop_size=crop, assign_overlap=ov, embed_iterations=10,
         dilation_3d=1, dilation_2d=2, semantic_gate=False,
+        min_instance_size=0,  # reference semantics: no speck filter
         output_path=os.path.join(args.out, "parity_strict.tif")))
     strict_s = time.time() - t0
     print(f"our engine (strict reference mode): {strict_s:.1f}s, "
